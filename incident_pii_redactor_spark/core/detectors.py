@@ -1,0 +1,354 @@
+"""Span detectors: regex PII scan, Luhn validation, custom patterns,
+keyword-context scan, false-positive predicates, contextual finder.
+
+Re-expresses from scratch (public regex knowledge only) the reference's
+detection surface:
+
+* D1  Presidio-backed entity scan (``src/core/pii_detector.py:26-90``) —
+  reimplemented as explicit regexes + Luhn (the north rule requires no
+  Presidio); entity set: email, phone, ssn, credit_card, ip_address,
+  person_name, api_key, hostname.
+* D3  Custom patterns: internal_url, jira_ticket, aws_arn, kubernetes_pod,
+  slack_channel, docker_image at fixed confidence 0.8
+  (``deterministic_extractor.py:118-125, 223-265``).
+* D4  Keyword-context scan, 15 internal keywords, confidence 0.3
+  (``deterministic_extractor.py:128-132, 267-301``; the reference's
+  pattern template at :278 has malformed escapes — we use a corrected,
+  documented pattern: keyword + ``[:=]`` + value -> high confidence;
+  bare keyword -> 0.3 advisory span).
+* D5  False-positive predicates (``src/core/pii_detector.py:121-140``):
+  numeric "persons", @example.com emails, 4-digit "phones".
+* D6/D7 Contextual finder: regex families + additive confidence scoring,
+  admit >= 0.6 (``src/processing/llm_detector.py:58-173``). The default
+  (and only network-free) reference path is regex simulation, which is
+  what we replicate.
+* D8  Context-window extraction: ±50 chars (``pii_detector.py:107-119``).
+
+All regexes stay within the common Java-regex/RE2 subset where a DuckDB
+oracle twin exists (no lookbehind/backrefs in those).
+"""
+
+from __future__ import annotations
+
+import re
+
+from incident_pii_redactor_spark.core.spans import (
+    PSEUDONYMIZE,
+    REDACT,
+    RETAIN,
+    SRC_DETERMINISTIC,
+    SRC_FINDER,
+    Span,
+    covered_positions,
+    resolve_overlaps,
+)
+
+# ---------------------------------------------------------------------------
+# D1 — primary PII regexes (compiled once per process / executor; the Spark
+# layer ships only this module, so compilation happens lazily per worker —
+# the broadcast-config pattern of SURVEY.md §4.1).
+# ---------------------------------------------------------------------------
+
+EMAIL_RE_STR = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+EMAIL_RE = re.compile(EMAIL_RE_STR)
+
+# +1-555-123-4567 | (555) 123-4567 | 555.123.4567 | 5551234567 (10-11 digits)
+PHONE_RE_STR = r"(?:\+?1[-. ])?(?:\(\d{3}\)\s?|\d{3}[-. ])\d{3}[-. ]\d{4}\b"
+PHONE_RE = re.compile(PHONE_RE_STR)
+
+SSN_RE_STR = r"\b\d{3}-\d{2}-\d{4}\b"
+SSN_RE = re.compile(SSN_RE_STR)
+
+# 13-19 digits with optional single space/dash separators (Luhn-gated below)
+CARD_RE_STR = r"\b\d(?:[- ]?\d){12,18}\b"
+CARD_RE = re.compile(CARD_RE_STR)
+
+IP_RE_STR = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+IP_RE = re.compile(IP_RE_STR)
+
+API_KEY_RE = re.compile(
+    r"\b(?:sk|pk|ak|ghp|xox[bap]|AKIA)[_-]?[A-Za-z0-9]{16,48}\b"
+)
+
+HOSTNAME_RE = re.compile(
+    r"\b[a-z][a-z0-9-]{1,40}\.(?:internal|corp|local|lan)(?:\.[a-z]{2,6})?\b"
+)
+
+# person names: Capitalized First Last, gated by a first-name allowlist to
+# keep precision (the reference used Presidio NER here; a bare capitalized
+# -pair regex is the adversarial-scan heuristic at quality_validator.py:374-382).
+FIRST_NAMES = frozenset(
+    """james john robert michael william david richard joseph thomas charles
+    mary patricia jennifer linda elizabeth barbara susan jessica sarah karen
+    nancy lisa margaret betty sandra ashley kimberly emily donna michelle
+    carol amanda melissa deborah stephanie rebecca sharon laura cynthia
+    kathleen amy angela anna brenda pamela emma olivia sophia isabella
+    daniel matthew anthony mark donald steven paul andrew joshua kenneth
+    kevin brian george timothy ronald jason edward jeffrey ryan jacob gary
+    nicholas eric jonathan stephen larry justin scott brandon benjamin
+    samuel gregory alexander frank patrick raymond jack dennis jerry tyler
+    aaron jose adam nathan henry douglas zachary peter kyle noah ethan
+    alice bob carlos diana frank grace henry ivan julia""".split()
+)
+# zero-width lookahead so candidate pairs may overlap ("Contact John Smith"
+# must still yield "John Smith" after "Contact John" fails the name gate)
+PERSON_RE = re.compile(r"(?=\b([A-Z][a-z]{2,15})\s+([A-Z][a-z]{2,20})\b)")
+
+# words that look like name-starts but are prose (FP guard)
+_NOT_SURNAMES = frozenset(
+    "The This That These Those Then There From With When Where What Which "
+    "Please Thanks Hello Dear Team Incident Summary Title Description".split()
+)
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum — Presidio's CREDIT_CARD recognizer applies this
+    internally (SURVEY.md §2.3 D1); we implement it explicitly."""
+    total, parity = 0, len(digits) % 2
+    for i, ch in enumerate(digits):
+        d = ord(ch) - 48
+        if d < 0 or d > 9:
+            return False
+        if i % 2 == parity:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _valid_ssn(s: str) -> bool:
+    area, group, serial = s.split("-")
+    return not (
+        area in ("000", "666")
+        or area.startswith("9")
+        or group == "00"
+        or serial == "0000"
+    )
+
+
+def _valid_ip(s: str) -> bool:
+    return all(0 <= int(o) <= 255 for o in s.split("."))
+
+
+# D5 — false-positive predicates (reference pii_detector.py:121-140)
+_FP_EMAIL = re.compile(r"@(?:example|test|sample)\.(?:com|org|net)$", re.I)
+
+
+def detect_pii(text: str) -> list[Span]:
+    """D1+D5: core PII entity scan with validation predicates.
+
+    Confidence model mirrors the reference's scored spans
+    (``pii_detector.py:50-90``): checksum/structure-validated types score
+    0.99; plain pattern matches 0.85-0.95; gated person names 0.85.
+    """
+    spans: list[Span] = []
+    for m in EMAIL_RE.finditer(text):
+        if _FP_EMAIL.search(m.group()):
+            continue  # D5: example-domain emails are FPs
+        spans.append(Span(m.start(), m.end(), "email", 0.99, m.group()))
+    for m in SSN_RE.finditer(text):
+        if _valid_ssn(m.group()):
+            spans.append(Span(m.start(), m.end(), "ssn", 0.99, m.group()))
+    for m in CARD_RE.finditer(text):
+        digits = re.sub(r"[- ]", "", m.group())
+        if 13 <= len(digits) <= 19 and luhn_valid(digits):
+            spans.append(Span(m.start(), m.end(), "credit_card", 0.99, m.group()))
+    for m in PHONE_RE.finditer(text):
+        digits = re.sub(r"\D", "", m.group())
+        if len(digits) < 10:  # D5: 4-digit "phones" are FPs
+            continue
+        spans.append(Span(m.start(), m.end(), "phone", 0.95, m.group()))
+    for m in IP_RE.finditer(text):
+        if _valid_ip(m.group()):
+            spans.append(Span(m.start(), m.end(), "ip_address", 0.95, m.group()))
+    for m in API_KEY_RE.finditer(text):
+        spans.append(Span(m.start(), m.end(), "api_key", 0.95, m.group()))
+    for m in HOSTNAME_RE.finditer(text):
+        spans.append(Span(m.start(), m.end(), "hostname", 0.9, m.group()))
+    for m in PERSON_RE.finditer(text):
+        first, last = m.group(1), m.group(2)
+        if first.lower() in FIRST_NAMES and last not in _NOT_SURNAMES:
+            spans.append(
+                Span(m.start(1), m.end(2), "person_name", 0.85,
+                     text[m.start(1): m.end(2)])
+            )
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# D3 — custom infra patterns, fixed confidence 0.8
+# (reference deterministic_extractor.py:118-125)
+# ---------------------------------------------------------------------------
+
+CUSTOM_PATTERNS: dict[str, re.Pattern] = {
+    "internal_url": re.compile(
+        r"https?://[a-z0-9.-]*\.(?:internal|corp|local)(?::\d+)?(?:/\S*)?"
+    ),
+    "jira_ticket": re.compile(r"\b[A-Z]{2,10}-\d{1,6}\b"),
+    "aws_arn": re.compile(r"\barn:aws:[a-z0-9-]+:[a-z0-9-]*:\d{12}:\S+"),
+    "kubernetes_pod": re.compile(r"\b[a-z0-9][a-z0-9-]*-[a-f0-9]{8,10}-[a-z0-9]{5}\b"),
+    "slack_channel": re.compile(r"#[a-z0-9][a-z0-9_-]{1,32}\b"),
+    "docker_image": re.compile(
+        r"\b[a-z0-9.-]+/[a-z0-9._/-]+:[a-zA-Z0-9][a-zA-Z0-9._-]{0,48}\b"
+    ),
+}
+
+
+def detect_custom(text: str, existing: list[Span]) -> list[Span]:
+    """D3: infra-pattern scan, skipping positions already covered by
+    higher-priority detections (reference deterministic_extractor.py:223-265)."""
+    covered = covered_positions(existing)
+    spans: list[Span] = []
+    for name, pat in CUSTOM_PATTERNS.items():
+        for m in pat.finditer(text):
+            if any(p in covered for p in (m.start(), m.end() - 1)):
+                continue
+            spans.append(
+                Span(m.start(), m.end(), name, 0.8, m.group(), method="regex")
+            )
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# D4 — keyword-context scan (reference deterministic_extractor.py:128-132,
+# 267-301). 15 internal keywords; corrected pattern (the reference template
+# at :278 has malformed \b/brace escapes — documented divergence).
+# ---------------------------------------------------------------------------
+
+INTERNAL_KEYWORDS = (
+    "prod", "staging", "secret", "token", "password", "credential",
+    "apikey", "api_key", "internal", "confidential", "database", "admin",
+    "root", "vpn", "ssh",
+)
+_KEYWORD_RE = re.compile(
+    r"\b(" + "|".join(INTERNAL_KEYWORDS) + r")\b", re.IGNORECASE
+)
+# keyword followed by an assigned value => real secret leak, high confidence
+_SECRET_ASSIGN_RE = re.compile(
+    r"\b(?:secret|token|password|credential|apikey|api_key)\s*[:=]\s*(\S+)",
+    re.IGNORECASE,
+)
+
+
+def detect_keywords(text: str, existing: list[Span]) -> list[Span]:
+    """D4: secret-assignment spans (REDACT, 0.9) + bare-keyword advisory
+    spans (category SECRETS, confidence 0.3 — reference semantics; these
+    low-confidence spans rarely survive arbitration, same as the reference
+    where 0.3 < the 0.8 splice threshold at deterministic_extractor.py:368-383)."""
+    covered = covered_positions(existing)
+    spans: list[Span] = []
+    for m in _SECRET_ASSIGN_RE.finditer(text):
+        s, e = m.start(1), m.end(1)
+        if any(p in covered for p in (s, e - 1)):
+            continue
+        spans.append(
+            Span(s, e, "secret_value", 0.9, m.group(1), method="keyword",
+                 action=REDACT)
+        )
+    for m in _KEYWORD_RE.finditer(text):
+        if m.start() in covered:
+            continue
+        spans.append(
+            Span(m.start(), m.end(), "internal_keyword", 0.3, m.group(),
+                 method="keyword")
+        )
+    return spans
+
+
+def detect_deterministic(text: str) -> list[Span]:
+    """Full deterministic stage: D1 -> D3 -> D4 -> C1 overlap resolve.
+
+    Mirrors the reference stage orchestration at
+    ``deterministic_extractor.py:194-344``.
+    """
+    spans = detect_pii(text)
+    spans += detect_custom(text, spans)
+    spans += detect_keywords(text, spans)
+    for s in spans:
+        s.source = SRC_DETERMINISTIC
+    return resolve_overlaps(spans)
+
+
+# ---------------------------------------------------------------------------
+# D6/D7 — contextual finder (reference llm_detector.py:58-173, regex
+# simulation path). Base confidence 0.5 + additive context bonuses,
+# admit >= 0.6.
+# ---------------------------------------------------------------------------
+
+CONTEXTUAL_PATTERNS: dict[str, re.Pattern] = {
+    "employment_info": re.compile(
+        r"\b(?:employee|staff)\s+(?:id|number)\s*[:#]?\s*\w{4,12}\b", re.I
+    ),
+    "salary_info": re.compile(
+        r"\$\s?\d{2,3}(?:,\d{3})+(?:\.\d{2})?\b"
+    ),
+    "internal_platforms": re.compile(
+        r"\b(?:grafana|kibana|jenkins|vault|consul)\.[a-z0-9.-]+\b", re.I
+    ),
+    "internal_metrics": re.compile(
+        r"\b(?:arr|mrr|churn)\s+(?:of\s+)?\$?\d[\d,.]*[km]?\b", re.I
+    ),
+    "customer_data_refs": re.compile(r"\bcust[_-]?\d{4,10}\b", re.I),
+    "intellectual_property": re.compile(
+        r"\b(?:patent|proprietary algorithm|trade secret)\s+\S+", re.I
+    ),
+    "investigation_details": re.compile(
+        r"\b(?:case|investigation)\s+(?:id|number)\s*[:#]?\s*\w{4,12}\b", re.I
+    ),
+}
+
+_PRIVACY_INDICATORS = ("private", "confidential", "sensitive", "do not share")
+_INCIDENT_INDICATORS = ("incident", "breach", "outage", "unauthorized")
+_CATEGORY_KEYWORDS = {
+    "employment_info": ("employee", "hr", "hired"),
+    "salary_info": ("salary", "compensation", "pay"),
+    "customer_data_refs": ("customer", "account", "subscriber"),
+    "investigation_details": ("investigation", "forensics", "legal"),
+}
+
+
+def _context_confidence(category: str, match_text: str, context: str) -> float:
+    """D7: base 0.5; +0.2 per matched keyword-category; +0.15 privacy;
+    +0.1 incident; ±0.1 by match length; clamp [0,1]
+    (reference llm_detector.py:143-173)."""
+    conf = 0.5
+    ctx = context.lower()
+    for kw in _CATEGORY_KEYWORDS.get(category, ()):
+        if kw in ctx:
+            conf += 0.2
+            break
+    if any(ind in ctx for ind in _PRIVACY_INDICATORS):
+        conf += 0.15
+    if any(ind in ctx for ind in _INCIDENT_INDICATORS):
+        conf += 0.1
+    if len(match_text) >= 12:
+        conf += 0.1
+    elif len(match_text) < 6:
+        conf -= 0.1
+    return max(0.0, min(1.0, conf))
+
+
+def detect_contextual(text: str, existing: list[Span]) -> list[Span]:
+    """D6: contextual finder — dedup vs existing spans, admit conf >= 0.6
+    (reference llm_detector.py:97-141)."""
+    covered = covered_positions(existing)
+    spans: list[Span] = []
+    for category, pat in CONTEXTUAL_PATTERNS.items():
+        for m in pat.finditer(text):
+            if any(p in covered for p in (m.start(), m.end() - 1)):
+                continue
+            ctx = text[max(0, m.start() - 100): m.end() + 100]  # D8 window
+            conf = _context_confidence(category, m.group(), ctx)
+            if conf < 0.6:
+                continue
+            spans.append(
+                Span(m.start(), m.end(), category, conf, m.group(),
+                     source=SRC_FINDER, method="contextual")
+            )
+    return resolve_overlaps(spans)
+
+
+def context_window(text: str, start: int, end: int, radius: int = 50) -> str:
+    """D8: ±radius context snippet (reference pii_detector.py:107-119)."""
+    return text[max(0, start - radius): min(len(text), end + radius)]

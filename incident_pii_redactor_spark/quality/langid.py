@@ -1,0 +1,144 @@
+"""fastText-style language identification: hashed char-n-gram linear scorer.
+
+Design (public knowledge: Joulin et al. 2016 "Bag of Tricks for Efficient
+Text Classification"; fastText langid uses char n-grams hashed into a
+fixed-width table with a linear classifier on top):
+
+* byte-level trigrams of the utf-8 encoded, lowercased text
+  (utf-8 byte trigrams discriminate CJK scripts for free),
+* multiplicative (Knuth) hashing into ``N_BUCKETS`` — deterministic across
+  processes (NOT Python ``hash()``, which is salted per-process),
+* one L2-normalized profile vector per language, built at import time from
+  small seed corpora embedded below,
+* score(doc, lang) = <doc trigram counts, profile_lang> — computed for a
+  whole Arrow batch with two numpy passes (slice-add for trigram codes,
+  ``bincount`` per language for the grouped dot products). No per-row
+  Python.
+
+Accuracy vs real fastText is out of scope (SURVEY.md §7 risks): the seed
+corpora below define the model; oracle and Spark share it verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_BUCKETS = 1 << 16
+_KNUTH = np.uint64(2654435761)
+
+# Seed corpora: a few sentences of ordinary prose per language, written for
+# this project (no external data). They double as the word pools the test
+# fixture generator draws from, so langid is genuinely discriminative on
+# fixtures.
+LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "green field while the sun rises slowly over the quiet hills this "
+        "morning we walked to the market and bought fresh bread with butter "
+        "and honey because the weather was clear and the children wanted to "
+        "play outside near the old stone bridge where the river bends many "
+        "people believe that reading books every day improves the mind and "
+        "helps you understand the world around you in a deeper way"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und läuft "
+        "durch das grüne feld während die sonne langsam über den stillen "
+        "hügeln aufgeht heute morgen gingen wir zum markt und kauften "
+        "frisches brot mit butter und honig weil das wetter klar war und "
+        "die kinder draußen an der alten steinbrücke spielen wollten viele "
+        "menschen glauben dass tägliches lesen den geist verbessert und "
+        "hilft die welt besser zu verstehen"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y corre por "
+        "el campo verde mientras el sol sale lentamente sobre las colinas "
+        "tranquilas esta mañana caminamos al mercado y compramos pan fresco "
+        "con mantequilla y miel porque el tiempo estaba despejado y los "
+        "niños querían jugar afuera cerca del viejo puente de piedra donde "
+        "el río se curva mucha gente cree que leer libros cada día mejora "
+        "la mente y ayuda a entender el mundo"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et court "
+        "à travers le champ vert pendant que le soleil se lève lentement "
+        "sur les collines calmes ce matin nous sommes allés au marché et "
+        "avons acheté du pain frais avec du beurre et du miel parce que le "
+        "temps était clair et les enfants voulaient jouer dehors près du "
+        "vieux pont de pierre où la rivière tourne beaucoup de gens croient "
+        "que lire des livres chaque jour améliore l esprit et aide à "
+        "comprendre le monde"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒惰的狗 在绿色的田野里奔跑 太阳慢慢升起 "
+        "照亮安静的山丘 今天早上我们去市场买了新鲜的面包 天气晴朗 "
+        "孩子们想在古老的石桥边玩耍 河水在那里转弯 许多人相信每天读书"
+        "可以提高思维能力 帮助你更深刻地理解周围的世界 学习语言需要时间"
+        "和耐心 但是坚持下去就会有收获"
+    ),
+}
+
+LANGS: tuple[str, ...] = tuple(LANG_SEEDS)
+
+
+def _trigram_buckets(data: bytes) -> np.ndarray:
+    """Vectorized byte-trigram -> bucket ids for one contiguous buffer."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if b.size < 3:
+        return np.empty(0, dtype=np.int64)
+    codes = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+    return ((codes * _KNUTH) % np.uint64(N_BUCKETS)).astype(np.int64)
+
+
+def _build_profiles() -> np.ndarray:
+    """(n_langs, N_BUCKETS) float32 matrix of L2-normalized trigram counts."""
+    mat = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float32)
+    for i, lang in enumerate(LANGS):
+        buckets = _trigram_buckets(LANG_SEEDS[lang].lower().encode("utf-8"))
+        counts = np.bincount(buckets, minlength=N_BUCKETS).astype(np.float32)
+        norm = float(np.linalg.norm(counts)) or 1.0
+        mat[i] = counts / norm
+    return mat
+
+
+_PROFILES = _build_profiles()  # built once per process; ~1.3 MB — broadcast-free
+
+
+def predict_language(texts: "list[str] | np.ndarray") -> tuple[np.ndarray, np.ndarray]:
+    """Batch language ID. Returns (lang_pred: object array, confidence: float64).
+
+    Confidence is the softmax of length-normalized profile dot products.
+    Empty/too-short docs predict "und" with confidence 0.
+    """
+    n = len(texts)
+    encoded = [(t or "").lower().encode("utf-8") for t in texts]
+    lengths = np.array([max(len(e) - 2, 0) for e in encoded], dtype=np.int64)
+    buf = b"".join(encoded)
+    b = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+
+    # doc id per byte position, then mask out trigrams that straddle docs
+    doc_of_byte = np.repeat(np.arange(n), [len(e) for e in encoded])
+    if b.size >= 3:
+        codes = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+        buckets = ((codes * _KNUTH) % np.uint64(N_BUCKETS)).astype(np.int64)
+        tri_doc = doc_of_byte[:-2]
+        valid = tri_doc == doc_of_byte[2:]  # all 3 bytes in same doc
+        buckets, tri_doc = buckets[valid], tri_doc[valid]
+    else:
+        buckets = np.empty(0, dtype=np.int64)
+        tri_doc = np.empty(0, dtype=np.int64)
+
+    scores = np.zeros((len(LANGS), n), dtype=np.float64)
+    for i in range(len(LANGS)):
+        w = _PROFILES[i][buckets]  # weight per trigram occurrence
+        scores[i] = np.bincount(tri_doc, weights=w, minlength=n)
+    denom = np.maximum(lengths, 1).astype(np.float64)
+    scores /= denom  # length-normalize (uniform across langs; keeps softmax sane)
+
+    best = scores.argmax(axis=0)
+    exp = np.exp((scores - scores.max(axis=0, keepdims=True)) * 50.0)
+    conf = exp[best, np.arange(n)] / exp.sum(axis=0)
+    langs = np.array(LANGS, dtype=object)[best]
+    empty = lengths < 1
+    langs[empty] = "und"
+    conf = np.where(empty, 0.0, conf)
+    return langs, conf
