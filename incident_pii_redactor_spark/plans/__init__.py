@@ -1,0 +1,5 @@
+"""SparkSession builders with scale-tuned configuration."""
+
+from incident_pii_redactor_spark.plans.session import build_session
+
+__all__ = ["build_session"]

@@ -1,0 +1,54 @@
+"""SparkSession construction with configs tuned for the 100 TB design point.
+
+Local test/bench sessions use ``local[N]``; the same config block is what
+the production ``spark-submit`` job would carry (jobs/scrub.py). Key
+choices, each load-bearing at scale:
+
+* AQE on (+ skew-join): runtime coalescing and skew splitting are the
+  backstop behind our explicit salting (SURVEY.md §4.2).
+* Arrow enabled + bounded ``maxRecordsPerBatch``: the scrub stage is a
+  ``mapInPandas`` over multi-KB documents; 2048 docs/batch keeps executor
+  Python memory flat (docs avg ~2 KB -> ~4 MB per batch plus pandas
+  overhead) while amortizing Arrow transfer.
+* ``spark.sql.files.maxPartitionBytes=128m``: at 100 TB input this yields
+  ~800k scan tasks — the right granularity for 1000 executors and for
+  partition-granular resume.
+* shuffle partitions sized for local mode; production submits override
+  via ``--conf`` (AQE coalesces down anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "incident-pii-redactor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

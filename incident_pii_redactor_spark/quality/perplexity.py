@@ -7,8 +7,10 @@ shape at order 2 with hashed counts):
 * unigram + bigram counts trained at import time on the English seed
   corpus (``langid.LANG_SEEDS['en']``), hashed into fixed-width tables
   (crc32 — deterministic, unlike salted ``hash()``),
-* add-k smoothed conditional:  p(w_i | w_{i-1}) =
-  (c_bi + k) / (c_uni[w_{i-1}] + k * V),
+* interpolated (backoff-style) conditional:
+  p(w_i | w_{i-1}) = 0.5 * p_bigram + 0.5 * p_unigram, each add-k
+  smoothed — in-vocabulary prose scores low even in unseen word orders,
+  out-of-vocabulary junk scores high,
 * doc pseudo-perplexity = exp(-mean log p) over its bigrams,
 * fully batch-vectorized: one ``pd.factorize`` over the flattened word
   stream, crc32 only over the (small) unique-word set, grouped mean via
@@ -32,8 +34,9 @@ from incident_pii_redactor_spark.quality.langid import LANG_SEEDS
 
 N_BUCKETS = 1 << 18
 _SMOOTH_K = 0.1
+_LAMBDA = 0.5  # bigram/unigram interpolation weight
 _WORD_RE = re.compile(r"[a-zà-öø-ÿ']+")
-_MAX_LOGP = float(np.log((0 + _SMOOTH_K) / (0 + _SMOOTH_K * N_BUCKETS)))
+_MAX_LOGP = float(np.log(_SMOOTH_K / (_SMOOTH_K * N_BUCKETS)))
 
 
 def _hash_words(words: "list[str]") -> np.ndarray:
@@ -47,17 +50,17 @@ def _bigram_bucket(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return (h1 * 1000003 + h2) % N_BUCKETS
 
 
-def _train() -> tuple[np.ndarray, np.ndarray]:
+def _train() -> tuple[np.ndarray, np.ndarray, float]:
     words = _WORD_RE.findall(LANG_SEEDS["en"].lower())
     h = _hash_words(words)
     uni = np.bincount(h, minlength=N_BUCKETS).astype(np.float64)
     bi = np.bincount(
         _bigram_bucket(h[:-1], h[1:]), minlength=N_BUCKETS
     ).astype(np.float64)
-    return uni, bi
+    return uni, bi, float(len(words))
 
 
-_UNI, _BI = _train()  # ~4 MB — rebuilt lazily per executor process
+_UNI, _BI, _N_TOKENS = _train()  # ~4 MB — rebuilt lazily per executor process
 
 
 def tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -87,10 +90,11 @@ def perplexity_batch(texts: pd.Series) -> np.ndarray:
     same_doc = doc_ids[:-1] == doc_ids[1:]
     h1, h2 = h[:-1][same_doc], h[1:][same_doc]
     bdoc = doc_ids[:-1][same_doc]
-    logp = np.log(
-        (_BI[_bigram_bucket(h1, h2)] + _SMOOTH_K)
-        / (_UNI[h1] + _SMOOTH_K * N_BUCKETS)
+    p_bi = (_BI[_bigram_bucket(h1, h2)] + _SMOOTH_K) / (
+        _UNI[h1] + _SMOOTH_K * N_BUCKETS
     )
+    p_uni = (_UNI[h2] + _SMOOTH_K) / (_N_TOKENS + _SMOOTH_K * N_BUCKETS)
+    logp = np.log(_LAMBDA * p_bi + (1.0 - _LAMBDA) * p_uni)
     sums = np.bincount(bdoc, weights=logp, minlength=n)
     ngrams = np.bincount(bdoc, minlength=n)
     has = ngrams > 0
