@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship fused quality-filter + PII-scrub pipeline on
+the sf0.001 ``documents`` table. ``queries()`` / ``oracle_sql()`` — one
+entry per implemented operator family (SURVEY.md §2), DuckDB-checked
+where SQL-expressible; genuinely non-SQL ops (the full arbitrated scrub,
+langid/perplexity models, LSH-ANN bucketing) are rows-only by design.
+
+Float-determinism policy for the value-hash compare: money aggregates go
+through DECIMAL(18,2) in BOTH engines (exact, associative); double
+results are rounded to 6 places; LIMIT queries carry a total tie-break.
 """
 
 from __future__ import annotations
@@ -12,27 +16,516 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused langid -> perplexity -> heuristics -> keep/drop ->
+    arbitrated PII scrub, one mapInPandas stage (SURVEY.md §7 step 3)."""
+    return _scrub_documents(spark, SF_SMOKE)
 
+
+def _scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incident_pii_redactor_spark.operators.scrub import quality_scrub
+    from incident_pii_redactor_spark.quality.scorer import DRIVER_DOCS
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_scrub(docs, id_cols=("doc_id",), cfg=DRIVER_DOCS)
+    return out.select(
+        "doc_id", "lang_pred", F.round("ppl", 4).alias("ppl"),
+        "word_count", "keep", "drop_reason", "text_scrubbed",
+        "n_redactions", "residual_pii", "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (joins / windows / rollup / semi / anti / agg)
+# ---------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            # product stays at scale 4 — casting it down to scale 2 hits
+            # exact .xx50 midpoints where engines' rounding modes differ
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            F.round(
+                (F.sum(dec("l_quantity")) / F.count("*")).cast("double"), 6
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _top_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"))
+    )
+
+
+def _orders_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+def _customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _big_spender_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def _events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+
+
+def _user_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("gap") > 1800, 1).otherwise(0)).alias("n_breaks"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / quality / dedup / fingerprint over `documents`
+# ---------------------------------------------------------------------------
+
+def _doc_token_stats(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.text import (
+        mean_word_len,
+        token_count_bpe_ish,
+        word_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        F.round(mean_word_len("text"), 6).alias("mean_word_len"),
+        token_count_bpe_ish("text").alias("n_tokens"),
+    )
+
+
+def _doc_lang_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+    )
+
+
+def _doc_quality_prefilter(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.text import (
+        quality_prefilter,
+        stopword_ratio,
+        symbol_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_prefilter("text", min_words=20).alias("keep"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(symbol_ratio("text"), 6).alias("sym_ratio"),
+    )
+
+
+def _doc_fingerprints(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _doc_exact_dup_groups(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def _doc_minhash_signatures(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.dedup import minhash_signature
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(minhash_signature("text", n=3, n_perm=4), "|").alias("sig"),
+    )
+
+
+def _doc_minhash_pairs(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, n_perm=8, bands=4
+    )
+
+
+def _doc_simhash(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def _doc_redact_emails(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.text import redact_emails
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", redact_emails("text").alias("text_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _emb_norms(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.similarity import embedding_norms
+
+    return embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_cosine_topk(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
+def _emb_lsh_ann(spark, sf_dir):
+    from incident_pii_redactor_spark.functions.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_ann_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
+
+
+def _emb_label_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.avg(F.element_at(F.col("embedding"), 1).cast("double")), 6
+            ).alias("avg_dim0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "orders_rollup": _orders_rollup,
+        "customers_without_orders": _customers_without_orders,
+        "big_spender_customers": _big_spender_customers,
+        "events_hourly": _events_hourly,
+        "user_sessions": _user_sessions,
+        "doc_token_stats": _doc_token_stats,
+        "doc_lang_stats": _doc_lang_stats,
+        "doc_quality_prefilter": _doc_quality_prefilter,
+        "doc_fingerprints": _doc_fingerprints,
+        "doc_exact_dup_groups": _doc_exact_dup_groups,
+        "doc_minhash_signatures": _doc_minhash_signatures,
+        "doc_minhash_pairs": _doc_minhash_pairs,
+        "doc_simhash": _doc_simhash,
+        "doc_redact_emails": _doc_redact_emails,
+        "emb_norms": _emb_norms,
+        "emb_cosine_topk": _emb_cosine_topk,
+        "emb_lsh_ann": _emb_lsh_ann,
+        "emb_label_centroids": _emb_label_centroids,
+        "scrub_documents": _scrub_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DEC = "CAST({} AS DECIMAL(18,2))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins. Omitted on purpose (rows-only check): scrub_documents
+    (full arbitrated scrub — 5-stage span pipeline, not SQL-expressible)
+    and emb_lsh_ann (model-hash bucketing)."""
+    rev = "(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   SUM({rev}) AS sum_disc_price,
+                   COUNT(*) AS count_order,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE), 6) AS avg_qty
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, SUM({rev}) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_nation_revenue": f"""
+            SELECT n_name, SUM({rev}) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rnk,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+                  FROM orders)
+            WHERE rnk <= 3
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "big_spender_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000)
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_breaks,
+                   COUNT(*) AS n_events
+            FROM (SELECT user_id, epoch(ts) - epoch(lag(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id, len({_WORDS}) AS n_words,
+                   ROUND(CASE WHEN len({_WORDS}) > 0 THEN
+                       CAST(list_sum(list_transform({_WORDS}, w -> len(w))) AS DOUBLE)
+                       / len({_WORDS}) ELSE 0.0 END, 6) AS mean_word_len,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+            FROM documents
+        """,
+        "doc_lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_quality_prefilter": f"""
+            SELECT doc_id,
+                   (nw >= 20 AND nw <= 100000 AND sym <= 0.1) AS keep,
+                   ROUND(stp, 6) AS stop_ratio, ROUND(sym, 6) AS sym_ratio
+            FROM (
+              SELECT doc_id, len({_WORDS}) AS nw,
+                CASE WHEN len({_WORDS}) > 0 THEN
+                  (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                   + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3)
+                  / len({_WORDS}) ELSE 0.0 END AS sym,
+                CASE WHEN len({_WORDS}) > 0 THEN
+                  CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                    w -> w IN ('the','be','to','of','and','a','in','that','have','i','it','for','not','on','with','he','as','you','do','at','this','but','his','by','from','they','we','say','her','she','or')))
+                    AS DOUBLE) / len({_WORDS}) ELSE 0.0 END AS stp
+              FROM documents)
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "doc_exact_dup_groups": """
+            SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "doc_minhash_signatures": """
+            SELECT doc_id, array_to_string([
+                list_min([md5('p' || CAST(p AS VARCHAR) || '|' ||
+                    array_to_string(w[i:i+2], ' '))
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)])
+                for p in range(0, 4)], '|') AS sig
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        """,
+        "doc_minhash_pairs": """
+            WITH sig AS (
+              SELECT doc_id, [
+                list_min([md5('p' || CAST(p AS VARCHAR) || '|' ||
+                    array_to_string(w[i:i+2], ' '))
+                    for i in range(1, greatest(len(w) - 2, 0) + 1)])
+                for p in range(0, 8)] AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            ), banded AS (
+              SELECT doc_id, b AS band_id,
+                     array_to_string(s[b*2+1:b*2+2], '|') AS band_key
+              FROM sig, (SELECT unnest(range(0, 4)) AS b)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "doc_simhash": """
+            SELECT doc_id,
+              CASE WHEN len(h) > 0 THEN (
+                SELECT SUM(CASE WHEN 2 * len(list_filter(h, v -> (v >> b) & 1 = 1))
+                                    >= len(h)
+                           THEN (1::BIGINT << b) ELSE 0 END)
+                FROM (SELECT unnest(range(0, 60)) AS b)
+              ) ELSE 0 END AS simhash
+            FROM (SELECT doc_id,
+                    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                  FROM documents)
+        """,
+        "doc_redact_emails": """
+            SELECT doc_id, regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '[REDACTED_EMAIL]', 'g') AS text_redacted
+            FROM documents
+        """,
+        "emb_norms": """
+            SELECT vec_id, ROUND(sqrt(list_dot_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                       (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6)
+                       AS cos_sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "emb_label_centroids": """
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+All scale-bearing parts are Catalyst expressions or key-partitioned
+joins; the only shuffle in each is the groupBy/join on the (small)
+signature key. Hash functions are md5-based so the DuckDB oracle can
+reproduce signatures bit-for-bit (Spark ``xxhash64`` has no DuckDB twin).
+
+Scale design:
+* exact dedup = one hash-aggregate on md5(text) — map-side partial
+  aggregation makes the shuffle carry (hash, count, min_id), not text.
+* MinHash LSH = signatures per doc (narrow), then a self-join on
+  (band_id, band_hash) — candidate pairs only; never all-pairs. Band
+  keys are high-entropy hashes, so the join keys are uniform — no skew.
+* SimHash = 64-bit signature, bucket on 4x16-bit sub-bands (Hamming
+  neighbors share a band with prob 1 for distance <= band count - 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(text: str | Column = "text") -> Column:
+    """Exact-dup key. DuckDB twin: ``md5(text)``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_hash, n_dups, keeper_id).
+    One shuffle on the 32-hex key; partial agg map-side."""
+    return (
+        df.groupBy(content_hash(text_col).alias("h"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc (min id) per identical text."""
+    w = df.select(id_col, content_hash(text_col).alias("h"))
+    keepers = w.groupBy("h").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# --- MinHash ---------------------------------------------------------------
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Array of n-word shingles. DuckDB twin:
+    ``[array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w)-n+2)]``."""
+    w = F.split(F.col(text_col), " ")
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    # guard: Spark sequence(1, 0) counts DOWN ([1, 0]); short docs must
+    # yield an empty shingle set like DuckDB's range() does
+    return F.when(F.size(w) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(text_col: str = "text", n: int = 3,
+                      n_perm: int = 8) -> Column:
+    """Array of n_perm MinHash values: lexicographic MIN over
+    md5("p{i}|" + shingle). Seeded-prefix md5 = an independent hash family;
+    lexicographic min over a hash's hex digest is a valid MinHash.
+    DuckDB twin uses the same md5 prefixes -> identical signatures."""
+    sh = word_shingles(text_col, n)
+
+    def hashed(prefix: str):
+        # NB: a `lambda s, i=i:` here would be wrong — Spark's transform()
+        # treats a 2-arg lambda as (element, index) and would clobber the
+        # default with the index Column
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hashed(f"p{i}|"))) for i in range(n_perm)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band of
+    rows_per_band consecutive minhashes. Returns (id_a, id_b, band_id)
+    distinct pairs with id_a < id_b. The join is per (band_id, band_key) —
+    never a cross join."""
+    rows_per_band = n_perm // bands
+    sig = df.select(F.col(id_col).alias("_id"),
+                    minhash_signature(text_col, n, n_perm).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.array_join(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1,
+                                    rows_per_band),
+                            "|",
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard (verification of candidate pairs) -----------------------
+
+def jaccard_on_pairs(
+    pairs: DataFrame, docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only (broadcast-scale pair
+    lists join back to docs; the expensive set math runs on candidates,
+    not the corpus)."""
+    sh = docs.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(word_shingles(text_col, n)).alias("_sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_jid", "id_a")
+                     .withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b")
+                .withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash over word unigrams, pure Catalyst expressions:
+    per-word 64-bit hash = first 16 hex chars of md5(word) (DuckDB-twin-able);
+    signature bit b = majority vote of word-hash bit b, weight 1 per word.
+
+    Implemented as 64 aggregate expressions over the word array — heavier
+    to compile than a pandas UDF but fully codegen'd and shuffle-free."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
+                    .cast("decimal(20,0)").cast("long"))
+    nwords = F.size(h)
+
+    def bit_test(mask: int):
+        # closure factory (not `lambda v, b=b`) — see minhash_signature note
+        return lambda v: v.bitwiseAND(F.lit(mask)) != 0
+
+    bits = []
+    for b in range(60):  # 15 hex chars = 60 bits
+        ones = F.size(F.filter(h, bit_test(1 << b)))
+        bits.append(
+            F.when(ones * 2 >= nwords, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out.bitwiseOR(bit)
+    return F.when(nwords > 0, out).otherwise(F.lit(0).cast("long"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bands: int = 4) -> DataFrame:
+    """(id, simhash, band_id, band_key) — near-dups (Hamming distance
+    < bands) share at least one 15-bit band."""
+    sig = df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    width = 60 // bands
+    rows = [
+        sig.select(
+            id_col, "simhash", F.lit(b).alias("band_id"),
+            F.shiftright("simhash", b * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -1,0 +1,109 @@
+"""Text-analysis Column expressions: token counts, quality ratios, language
+heuristics, fingerprints, regex scrub — all pure Catalyst expressions
+(inside WholeStageCodegen, zero Python).
+
+Each builder documents its DuckDB oracle twin; `__spark_entry__.py` pairs
+them for the driver's correctness gate. These JVM-side versions exist
+alongside the vectorized-pandas versions in ``quality/`` on purpose:
+cheap pre-filters expressed natively push down / fold into the scan plan
+(SURVEY.md §4.2 "express keep/drop cheap pre-filters as native
+predicates"), while the full model-based scoring lives in the Arrow UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 30 common English stop words — shared constant with the SQL twin
+STOPWORDS_SQL = (
+    "'the','be','to','of','and','a','in','that','have','i','it','for','not',"
+    "'on','with','he','as','you','do','at','this','but','his','by','from',"
+    "'they','we','say','her','she','or'"
+)
+
+# email regex shared by Spark and DuckDB twins (RE2-safe subset)
+EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def words(text: str | Column = "text") -> Column:
+    """Non-empty whitespace-split tokens.
+    DuckDB twin: ``list_filter(string_split(text, ' '), x -> x <> '')``
+    (we split on single spaces in BOTH engines for twin-exactness)."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def word_count(text: str | Column = "text") -> Column:
+    return F.size(words(text))
+
+
+def mean_word_len(text: str | Column = "text") -> Column:
+    """Mean token length; 0 for empty docs.
+    DuckDB twin: ``list_sum(list_transform(words, w -> len(w))) / count``."""
+    w = words(text)
+    total = F.aggregate(
+        w, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: str | Column = "text") -> Column:
+    """Fraction of lowercase tokens in the 30-word stop list."""
+    w = words(F.lower(text) if isinstance(text, str) else F.lower(text))
+    stops = F.array(*[F.lit(s.strip("'")) for s in STOPWORDS_SQL.split(",")])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    return F.when(F.size(w) > 0, n_stop / F.size(w)).otherwise(F.lit(0.0))
+
+
+def symbol_ratio(text: str | Column = "text") -> Column:
+    """Gopher symbol-to-word ratio: ('#' + '...') occurrences / words."""
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    wc = word_count(c)
+    return F.when(wc > 0, (hashes + dots) / wc).otherwise(F.lit(0.0))
+
+
+def token_count_bpe_ish(text: str | Column = "text") -> Column:
+    """BPE-ish token estimate: count of word-piece-like matches
+    (letter runs, digit runs, single punctuation) — a standard cheap
+    proxy for tokenizer counts at corpus scale.
+    DuckDB twin: ``len(regexp_extract_all(text, pattern))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE_SQL), F.lit(0)))
+
+
+TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    DuckDB twin: ``md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def redact_emails(text: str | Column = "text") -> Column:
+    """JVM-side single-entity scrub (the cheap pre-scrub for pipelines that
+    only need email removal; the full arbitrated scrub is the Arrow UDF).
+    DuckDB twin: ``regexp_replace(text, <re>, '[REDACTED_EMAIL]', 'g')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, EMAIL_RE_SQL, "[REDACTED_EMAIL]")
+
+
+def quality_prefilter(
+    text: str | Column = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """Cheap JVM-side keep pre-filter (word bounds + symbol ratio). At
+    scale this runs BEFORE the Arrow stage so obviously-bad docs never
+    cross into Python at all."""
+    wc = word_count(text)
+    return (
+        (wc >= min_words) & (wc <= max_words)
+        & (symbol_ratio(text) <= max_symbol_ratio)
+    )

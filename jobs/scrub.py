@@ -1,0 +1,114 @@
+"""Production scrub job: resumable quality-filter + PII-scrub over a pages table.
+
+Usage (local test; on a cluster swap --master / add --py-files engine.zip):
+
+    spark-submit --py-files engine.zip jobs/scrub.py \
+        --input  /data/pages_parquet \
+        --output /data/pages_scrubbed \
+        --manifest /data/pages_scrubbed__manifest \
+        --run-id run1 --n-buckets 64 --bucket-group-size 8 \
+        --completed-ts 2025-01-01T00:00:00
+
+Execution model (SURVEY.md §3.4):
+  read input -> content-derived bucket ids -> broadcast ANTI JOIN vs the
+  manifest's completed buckets (resume) -> loop over bucket GROUPS: one
+  narrow mapInPandas scrub pass per group, output written partitioned by
+  bucket, one manifest row appended per completed bucket. A crash loses at
+  most one in-flight group; restart skips everything manifested. Output is
+  byte-identical to a cold run because every per-row value is a pure
+  function of the row (md5 pseudonyms, no wall clock — completed_ts is a
+  job ARG, FIXTURES.md F4).
+
+Scale notes: the scrub itself is shuffle-free; the only shuffles are the
+per-bucket metric rollups (tiny) and the optional salted repartition for
+skewed inputs (--salt on). html:binary is pruned at the parquet scan
+because the operator selects only (url, text).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from incident_pii_redactor_spark.operators.resume import (
+    BUCKET_COL,
+    manifest_rows_from_output,
+    pending,
+    read_manifest,
+    with_bucket,
+)
+from incident_pii_redactor_spark.operators.salting import salted_repartition
+from incident_pii_redactor_spark.operators.scrub import quality_scrub
+from incident_pii_redactor_spark.plans import build_session
+from incident_pii_redactor_spark.quality.scorer import WEB_DEFAULT
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--run-id", default="run1")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--bucket-group-size", type=int, default=8)
+    p.add_argument("--completed-ts", default="2025-01-01T00:00:00")
+    p.add_argument("--salt", action="store_true",
+                   help="salted repartition on url before scrubbing")
+    p.add_argument("--num-partitions", type=int, default=0,
+                   help="target partitions for --salt (0 = default parallelism)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--fail-after-groups", type=int, default=0,
+                   help="TESTING ONLY: exit(1) after N completed groups")
+    return p.parse_args(argv)
+
+
+def run(args, spark=None) -> dict:
+    owns_session = spark is None
+    if owns_session:
+        spark = build_session("pii-scrub-job", master=args.master)
+    try:
+        df = with_bucket(spark.read.parquet(args.input), "url", args.n_buckets)
+        manifest = read_manifest(spark, args.manifest)
+        todo = pending(df, manifest, args.run_id)
+
+        done = {
+            r[0]
+            for r in manifest.filter(F.col("run_id") == args.run_id)
+            .select("partition_id").distinct().collect()
+        }
+        remaining = sorted(set(range(args.n_buckets)) - done)
+        groups = [
+            remaining[i: i + args.bucket_group_size]
+            for i in range(0, len(remaining), args.bucket_group_size)
+        ]
+        stats = {"groups_run": 0, "buckets_done": len(done), "rows": 0}
+        for gi, group in enumerate(groups):
+            chunk = todo.filter(F.col(BUCKET_COL).isin(group))
+            if args.salt:
+                nparts = args.num_partitions or spark.sparkContext.defaultParallelism
+                chunk = salted_repartition(chunk, "url", nparts)
+            out = quality_scrub(
+                chunk, id_cols=("url", "warc_ts", "lang", BUCKET_COL),
+                cfg=WEB_DEFAULT,
+            )
+            out = out.persist()
+            n = out.count()
+            out.write.mode("append").partitionBy(BUCKET_COL).parquet(args.output)
+            manifest_rows_from_output(out, args.run_id, args.completed_ts) \
+                .write.mode("append").parquet(args.manifest)
+            out.unpersist()
+            stats["groups_run"] += 1
+            stats["buckets_done"] += len(group)
+            stats["rows"] += n
+            if args.fail_after_groups and stats["groups_run"] >= args.fail_after_groups:
+                sys.exit(1)
+        return stats
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    print(run(parse_args()))
