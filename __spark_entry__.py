@@ -248,9 +248,10 @@ def _doc_minhash_signatures(spark, sf_dir):
     from incident_pii_redactor_spark.functions.dedup import minhash_signature
 
     d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature("text", n=3, n_perm=4)
     return d.select(
         "doc_id",
-        F.array_join(minhash_signature("text", n=3, n_perm=4), "|").alias("sig"),
+        F.array_join(F.transform(sig, lambda v: v.cast("string")), "|").alias("sig"),
     )
 
 
@@ -349,6 +350,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _DEC = "CAST({} AS DECIMAL(18,2))"
+
+
+def _minhash_oracle_sql(n_perm: int, mode: str) -> str:
+    """DuckDB twin of functions.dedup.minhash_signature: one md5-derived
+    30-bit base hash per 3-word shingle, n_perm universal-hash minima
+    (A*h+B mod P) — exact integer parity with the Spark expression."""
+    from incident_pii_redactor_spark.functions.dedup import _MH_M, _MH_P, _mh_params
+
+    A, B = _mh_params(n_perm)
+    perm_exprs = ", ".join(
+        f"coalesce(list_min(list_transform(H, h -> ({a} * h + {b}) % {_MH_P})), {_MH_P})"
+        for a, b in zip(A, B)
+    )
+    base = f"""
+      WITH hashes AS (
+        SELECT doc_id, list_transform(
+          [array_to_string(w[i:i+2], ' ')
+           for i in range(1, greatest(len(w) - 2, 0) + 1)],
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_M}) AS H
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ), sig AS (SELECT doc_id, [{perm_exprs}] AS s FROM hashes)
+    """
+    if mode == "signatures":
+        return base + """
+            SELECT doc_id, array_to_string(
+                list_transform(s, v -> CAST(v AS VARCHAR)), '|') AS sig
+            FROM sig
+        """
+    return base + """
+        , banded AS (
+            SELECT doc_id, b AS band_id, array_to_string(
+                list_transform(s[b*2+1:b*2+2], v -> CAST(v AS VARCHAR)), '|')
+                AS band_key
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -463,32 +504,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
-        "doc_minhash_signatures": """
-            SELECT doc_id, array_to_string([
-                list_min([md5('p' || CAST(p AS VARCHAR) || '|' ||
-                    array_to_string(w[i:i+2], ' '))
-                    for i in range(1, greatest(len(w) - 2, 0) + 1)])
-                for p in range(0, 4)], '|') AS sig
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        """,
-        "doc_minhash_pairs": """
-            WITH sig AS (
-              SELECT doc_id, [
-                list_min([md5('p' || CAST(p AS VARCHAR) || '|' ||
-                    array_to_string(w[i:i+2], ' '))
-                    for i in range(1, greatest(len(w) - 2, 0) + 1)])
-                for p in range(0, 8)] AS s
-              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-            ), banded AS (
-              SELECT doc_id, b AS band_id,
-                     array_to_string(s[b*2+1:b*2+2], '|') AS band_key
-              FROM sig, (SELECT unnest(range(0, 4)) AS b)
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.band_id = b.band_id AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        """,
+        "doc_minhash_signatures": _minhash_oracle_sql(n_perm=4, mode="signatures"),
+        "doc_minhash_pairs": _minhash_oracle_sql(n_perm=8, mode="pairs"),
         "doc_simhash": """
             SELECT doc_id,
               CASE WHEN len(h) > 0 THEN (

@@ -1,0 +1,127 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+quality+scrub pass over a 200k-page synthetic web corpus (cached across
+runs — generation is excluded from timings).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "scrub_docs_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("BENCH_PAGES_N", "200000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "top_orders_per_customer",
+    "events_hourly",
+    "user_sessions",
+    "doc_token_stats",
+    "doc_minhash_pairs",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "scrub_documents",
+)
+
+
+def pages_path(n_shards: int = 32) -> str:
+    """Corpus as n_shards parquet files: scan parallelism comes from the
+    source layout (as it would from HDFS/S3 file splits at real scale),
+    not from a repartition shuffle."""
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"pages_{PAGES_N}_sharded")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from incident_pii_redactor_spark.sources.pages import synth_pages
+
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pdf = synth_pages(PAGES_N)
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us", tz="UTC")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+        per = (PAGES_N + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            shard = pdf.iloc[i * per: (i + 1) * per]
+            pq.write_table(
+                pa.Table.from_pandas(shard, schema=schema, preserve_index=False),
+                f"{tmp}/part-{i:03d}.parquet",
+            )
+        os.rename(tmp, path)
+    return path
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from incident_pii_redactor_spark.operators import quality_scrub
+    from incident_pii_redactor_spark.plans import build_session
+
+    ppath = pages_path()
+    spark = build_session("bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM and start the Python worker pool once (excluded from
+    # timings — we measure steady-state throughput, not process cold start)
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    warm = spark.range(CPUS * 4).repartition(CPUS)
+    warm.mapInPandas(lambda it: it, "id long").count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship web-scale pass: fused quality+scrub over the sharded corpus
+    pages = spark.read.parquet(ppath)
+    t0 = time.time()
+    out = quality_scrub(pages)
+    n_rows = out.count()
+    scrub_sec = round(time.time() - t0, 3)
+    timings["scrub_pages_200k"] = scrub_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "scrub_docs_per_sec": round(n_rows / scrub_sec, 1),
+                "scrub_rows": n_rows,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,37 +50,82 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 # --- MinHash ---------------------------------------------------------------
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Array of n-word shingles. DuckDB twin:
-    ``[array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w)-n+2)]``."""
+    """Array of n-word shingles, built O(total words) via zip_with chains
+    (a slice-per-index construction is O(words^2) per doc — measured 6 ms/doc
+    on ~90-word docs before this rewrite). DuckDB twin:
+    ``[array_to_string(w[i:i+n-1], ' ') for i in range(1, len(w)-n+2)]`` —
+    different construction, byte-identical shingle strings."""
     w = F.split(F.col(text_col), " ")
-    shingled = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    # guard: Spark sequence(1, 0) counts DOWN ([1, 0]); short docs must
-    # yield an empty shingle set like DuckDB's range() does
-    return F.when(F.size(w) >= n, shingled).otherwise(
+    acc = w
+    for k in range(2, n + 1):
+        nxt = F.slice(w, k, F.greatest(F.size(w) - (k - 1), F.lit(1)))
+        acc = F.zip_with(
+            F.slice(acc, 1, F.greatest(F.size(w) - (k - 1), F.lit(1))),
+            nxt,
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # guard: short docs must yield an empty shingle set like DuckDB's
+    # range() does (and zip_with pads with nulls)
+    return F.when(F.size(w) >= n, acc).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+# universal-hash parameters: perm_i(h) = (A[i]*h + B[i]) mod P over base
+# hash h = md5-derived 30-bit int. Deterministic, engine-portable integers.
+_MH_P = (1 << 31) - 1
+_MH_M = 1 << 30
+
+
+def _mh_params(n_perm: int) -> tuple[list[int], list[int]]:
+    a = [(2 * i + 1) * 2654435761 % _MH_P for i in range(n_perm)]
+    b = [(i * 40503 + 7) % _MH_P for i in range(n_perm)]
+    return a, b
+
+
+def shingle_base_hashes(text_col: str, n: int = 3) -> Column:
+    """One md5 per shingle -> 30-bit int. All n_perm permutations derive
+    from this single pass (md5 is the expensive part; computing n_perm
+    independent md5s per shingle was 8x the work)."""
+    sh = word_shingles(text_col, n)
+    return F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_MH_M),
+        ),
     )
 
 
 def minhash_signature(text_col: str = "text", n: int = 3,
                       n_perm: int = 8) -> Column:
-    """Array of n_perm MinHash values: lexicographic MIN over
-    md5("p{i}|" + shingle). Seeded-prefix md5 = an independent hash family;
-    lexicographic min over a hash's hex digest is a valid MinHash.
-    DuckDB twin uses the same md5 prefixes -> identical signatures."""
-    sh = word_shingles(text_col, n)
+    """Array of n_perm MinHash values in ONE aggregate pass.
 
-    def hashed(prefix: str):
-        # NB: a `lambda s, i=i:` here would be wrong — Spark's transform()
-        # treats a 2-arg lambda as (element, index) and would clobber the
-        # default with the index Column
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    Single-expression design matters: n_perm separate array_min(transform(
+    shingles, ...)) columns each re-inline the shingle construction under
+    Catalyst's CollapseProject — n_perm x redundant md5 work. Here shingles
+    are hashed once (shingle_base_hashes) and the fold updates all n_perm
+    running minima per element. DuckDB twin reproduces the exact integers
+    via ('0x' || substr(md5(s),1,15))::BIGINT and the same (A*h+B) mod P.
+    """
+    A, B = _mh_params(n_perm)
+    a_col = F.array(*[F.lit(x).cast("long") for x in A])
+    b_col = F.array(*[F.lit(x).cast("long") for x in B])
+    init = F.array(*[F.lit(_MH_P).cast("long")] * n_perm)
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hashed(f"p{i}|"))) for i in range(n_perm)]
-    )
+    def step(acc: Column, h: Column) -> Column:
+        return F.transform(
+            acc,
+            lambda x, i: F.least(
+                x,
+                F.pmod(
+                    F.element_at(a_col, i + 1) * h + F.element_at(b_col, i + 1),
+                    F.lit(_MH_P),
+                ),
+            ),
+        )
+
+    return F.aggregate(shingle_base_hashes(text_col, n), init, step)
 
 
 def minhash_lsh_pairs(
@@ -95,9 +140,17 @@ def minhash_lsh_pairs(
     rows_per_band consecutive minhashes. Returns (id_a, id_b, band_id)
     distinct pairs with id_a < id_b. The join is per (band_id, band_key) —
     never a cross join."""
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = n_perm // bands
     sig = df.select(F.col(id_col).alias("_id"),
                     minhash_signature(text_col, n, n_perm).alias("_sig"))
+    # Materialization barrier: without it Catalyst's CollapseProject inlines
+    # the (expensive) signature expression into every band-key expression on
+    # BOTH join sides — ~2*bands x redundant MinHash computation (measured
+    # 31s -> ~3s on 5k docs). At real scale you would persist signatures to
+    # a table; within one job MEMORY_AND_DISK is the same idea.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "_id",
         F.explode(
@@ -106,8 +159,11 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.array_join(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1,
-                                    rows_per_band),
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
                             "|",
                         ).alias("band_key"),
                     )

@@ -68,9 +68,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: unit-variance values from a
     seeded multiplicative hash (no RNG state; same planes on every
     executor and in the oracle)."""
-    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the hash design
+        idx = np.arange(dim * n_planes, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + np.uint64(seed)
     h = (idx * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(11)
     u = (h % np.uint64(1 << 24)).astype(np.float64) / float(1 << 24)  # U(0,1)
     # inverse-ish normal via sum of uniforms (Irwin-Hall, 4 terms)

@@ -84,8 +84,9 @@ def manifest_rows_from_output(
     (must carry BUCKET_COL, url, keep, redactions_by_type). Per-bucket
     lineage counters double as the metrics layer (SURVEY.md §2.1 S4)."""
     per_bucket = (
-        out.withColumn(
-            "_red", F.explode_outer("redactions_by_type")
+        out.select(
+            BUCKET_COL,
+            F.explode_outer("redactions_by_type").alias("key", "value"),
         )
         .groupBy(BUCKET_COL, "key")
         .agg(F.sum("value").alias("cnt"))

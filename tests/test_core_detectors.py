@@ -1,0 +1,102 @@
+"""Golden-substring unit tests per redactor, mirroring the reference's
+test semantics (tests/test_pipeline.py:26-63 style: token present,
+original absent), plus Luhn and FP-predicate cases."""
+
+from incident_pii_redactor_spark.core import scrub_document
+from incident_pii_redactor_spark.core.detectors import (
+    detect_deterministic,
+    detect_pii,
+    luhn_valid,
+)
+
+
+def test_email_redacted():
+    out = scrub_document("Reach me at alice.jones@acme.com today.").text_scrubbed
+    assert "[REDACTED_EMAIL]" in out
+    assert "alice.jones@acme.com" not in out
+
+
+def test_example_domain_email_is_fp():
+    out = scrub_document("Demo account: someone@example.com works.").text_scrubbed
+    assert "someone@example.com" in out  # D5 FP predicate retains it
+
+
+def test_phone_redacted():
+    for phone in ("+1-555-123-4567", "(555) 123-4567", "555-123-4567"):
+        out = scrub_document(f"Call {phone} now.").text_scrubbed
+        assert "[REDACTED_PHONE]" in out, phone
+        assert phone not in out
+
+
+def test_short_number_not_phone():
+    out = scrub_document("Extension 1234 is open.").text_scrubbed
+    assert "1234" in out
+
+
+def test_ssn_redacted_and_invalid_retained():
+    assert "[REDACTED_SSN]" in scrub_document("SSN: 123-45-6789.").text_scrubbed
+    # 000-area SSNs are structurally invalid
+    assert "000-12-3456" in scrub_document("ref 000-12-3456 here").text_scrubbed
+
+
+def test_luhn():
+    assert luhn_valid("4532015112830366")
+    assert not luhn_valid("4532015112830367")
+
+
+def test_credit_card_luhn_gated():
+    good = scrub_document("Card 4532-0151-1283-0366 charged.").text_scrubbed
+    assert "[REDACTED_CARD]" in good
+    bad = scrub_document("Card 4532-0151-1283-0367 charged.").text_scrubbed
+    assert "4532-0151-1283-0367" in bad  # Luhn-invalid near miss retained
+
+
+def test_ip_pseudonymized():
+    out = scrub_document("Host at 10.0.1.45 failed.").text_scrubbed
+    assert "10.0.1.45" not in out
+    assert "192.168.1." in out  # R4 ip pseudonym shape
+
+
+def test_invalid_ip_retained():
+    out = scrub_document("Version 999.999.999.999 string.").text_scrubbed
+    assert "999.999.999.999" in out
+
+
+def test_person_name_pseudonymized_deterministically():
+    a = scrub_document("Ask John Smith about it.").text_scrubbed
+    b = scrub_document("Ping John Smith again later.").text_scrubbed
+    tok_a = [w for w in a.split() if w.startswith("Person_")][0]
+    tok_b = [w for w in b.split() if w.startswith("Person_")][0]
+    assert tok_a == tok_b.rstrip(".")  # same md5 pseudonym across docs (R4)
+    assert "John Smith" not in a
+
+
+def test_secret_assignment_redacted():
+    out = scrub_document("config: password=hunter2 set").text_scrubbed
+    assert "hunter2" not in out
+    assert "[REDACTED_SECRET]" in out
+
+
+def test_overlap_resolution_email_inside_url():
+    text = "See https://wiki.corp1.com/u/bob.lee@corp1.com for info."
+    spans = detect_deterministic(text)
+    # overlapping spans resolved: no two final spans overlap
+    for i in range(len(spans) - 1):
+        assert spans[i].end <= spans[i + 1].start
+
+
+def test_detect_pii_offsets_match_text():
+    text = "Mail bob@x.io or call +1-555-222-3333."
+    for s in detect_pii(text):
+        assert text[s.start: s.end] == s.text
+
+
+def test_scrub_is_deterministic():
+    t = "Contact mary.brown@corp2.com, SSN 321-54-9876, at 10.1.2.3."
+    assert scrub_document(t).text_scrubbed == scrub_document(t).text_scrubbed
+
+
+def test_line_structure_preserved():
+    t = "line one with bob@x.io\nline two\nline three 555-123-4567 end"
+    out = scrub_document(t).text_scrubbed
+    assert out.count("\n") == t.count("\n")

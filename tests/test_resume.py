@@ -1,0 +1,79 @@
+"""Partition-granular resume (FIXTURES.md F4 spec): kill after k groups,
+rerun, output must be byte-identical to a cold full run with no
+re-scrubbing of manifested buckets."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from jobs.scrub import parse_args, run
+
+
+def _read_all(spark, path):
+    return (
+        spark.read.parquet(path)
+        .select("url", "keep", "text_scrubbed")
+        .toPandas()
+        .set_index("url")
+        .sort_index()
+    )
+
+
+@pytest.fixture(scope="module")
+def cold_run(spark, pages_parquet, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cold")
+    args = parse_args(
+        ["--input", pages_parquet, "--output", str(d / "out"),
+         "--manifest", str(d / "mf"), "--n-buckets", "8",
+         "--bucket-group-size", "8"]
+    )
+    stats = run(args, spark=spark)
+    assert stats["buckets_done"] == 8
+    return _read_all(spark, str(d / "out"))
+
+
+def test_interrupted_then_resumed_equals_cold(spark, pages_parquet,
+                                              tmp_path_factory, cold_run):
+    d = tmp_path_factory.mktemp("warm")
+    base = ["--input", pages_parquet, "--output", str(d / "out"),
+            "--manifest", str(d / "mf"), "--n-buckets", "8",
+            "--bucket-group-size", "2"]
+    # first attempt dies after 2 of 4 groups
+    with pytest.raises(SystemExit):
+        run(parse_args(base + ["--fail-after-groups", "2"]), spark=spark)
+    manifest = spark.read.parquet(str(d / "mf"))
+    assert manifest.select("partition_id").distinct().count() == 4
+    # resume: must process exactly the remaining 4 buckets
+    stats = run(parse_args(base), spark=spark)
+    assert stats["groups_run"] == 2
+    assert stats["buckets_done"] == 8
+    warm = _read_all(spark, str(d / "out"))
+    pd.testing.assert_frame_equal(warm, cold_run)
+
+
+def test_rerun_when_complete_is_noop(spark, pages_parquet, tmp_path_factory):
+    d = tmp_path_factory.mktemp("noop")
+    base = ["--input", pages_parquet, "--output", str(d / "out"),
+            "--manifest", str(d / "mf"), "--n-buckets", "4",
+            "--bucket-group-size", "4"]
+    run(parse_args(base), spark=spark)
+    stats = run(parse_args(base), spark=spark)
+    assert stats["groups_run"] == 0 and stats["rows"] == 0
+
+
+def test_manifest_lineage_counters(spark, pages_parquet, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lineage")
+    run(parse_args(
+        ["--input", pages_parquet, "--output", str(d / "out"),
+         "--manifest", str(d / "mf"), "--n-buckets", "4",
+         "--bucket-group-size", "4"]), spark=spark)
+    m = spark.read.parquet(str(d / "mf")).toPandas()
+    assert m["rows_in"].sum() == 2000
+    assert (m["rows_kept"] + m["rows_dropped"] == m["rows_in"]).all()
+    assert m["input_fingerprint"].notna().all()
+    reds = {}
+    for d_ in m["redactions_by_type"]:
+        for k, v in (d_ or {}).items():
+            reds[k] = reds.get(k, 0) + v
+    assert reds.get("email", 0) > 100  # every kept pii doc has 2 emails
