@@ -183,6 +183,33 @@ def _user_sessions(spark, sf_dir):
     )
 
 
+def _custkeys_intersect(spark, sf_dir):
+    """Set op: customers that are also order placers (INTERSECT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+def _parts_never_ordered(spark, sf_dir):
+    """Set op: EXCEPT — part keys with no lineitem."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    return p.exceptAll(li.distinct())
+
+
+def _doc_word_freq(spark, sf_dir):
+    """Explode (UDTF-shaped flatMap) + top-k with total tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # text / quality / dedup / fingerprint over `documents`
 # ---------------------------------------------------------------------------
@@ -331,6 +358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_spender_customers": _big_spender_customers,
         "events_hourly": _events_hourly,
         "user_sessions": _user_sessions,
+        "custkeys_intersect": _custkeys_intersect,
+        "parts_never_ordered": _parts_never_ordered,
+        "doc_word_freq": _doc_word_freq,
         "doc_token_stats": _doc_token_stats,
         "doc_lang_stats": _doc_lang_stats,
         "doc_quality_prefilter": _doc_quality_prefilter,
@@ -465,6 +495,21 @@ def oracle_sql() -> dict[str, str]:
                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
                   FROM events)
             GROUP BY user_id
+        """,
+        "custkeys_intersect": """
+            SELECT c_custkey AS k FROM customer
+            INTERSECT SELECT o_custkey AS k FROM orders
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey AS k FROM part
+            EXCEPT ALL SELECT DISTINCT l_partkey AS k FROM lineitem
+        """,
+        "doc_word_freq": """
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
         """,
         "doc_token_stats": f"""
             SELECT doc_id, len({_WORDS}) AS n_words,
