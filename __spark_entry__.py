@@ -330,6 +330,42 @@ def _emb_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+def _doc_toxicity(spark, sf_dir):
+    """Block-list toxicity ratio, JVM-side (functions mirror of
+    quality.toxicity for SQL-expressible corpus scans)."""
+    from incident_pii_redactor_spark.quality.toxicity import BLOCK_WORDS
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    block = F.array(*[F.lit(w) for w in sorted(BLOCK_WORDS)])
+    n_bad = F.size(F.filter(words, lambda w: F.array_contains(block, w)))
+    return d.select(
+        "doc_id",
+        n_bad.alias("n_toxic"),
+        F.round(
+            F.when(F.size(words) > 0, n_bad / F.size(words)).otherwise(0.0), 6
+        ).alias("tox_ratio"),
+    )
+
+
+def _emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): exact pairwise at
+    oracle scale; the LSH-bucketed scale path is emb_lsh_ann."""
+    from incident_pii_redactor_spark.functions.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.30)
+    )
+
+
 def _emb_label_centroids(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return (
@@ -370,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": _doc_minhash_pairs,
         "doc_simhash": _doc_simhash,
         "doc_redact_emails": _doc_redact_emails,
+        "doc_toxicity": _doc_toxicity,
+        "emb_near_dup_pairs": _emb_near_dup_pairs,
         "emb_norms": _emb_norms,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_lsh_ann": _emb_lsh_ann,
@@ -380,6 +418,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _DEC = "CAST({} AS DECIMAL(18,2))"
+
+
+def _toxicity_oracle_sql() -> str:
+    from incident_pii_redactor_spark.quality.toxicity import BLOCK_WORDS
+
+    block = ", ".join(f"'{w}'" for w in sorted(BLOCK_WORDS))
+    return f"""
+        SELECT doc_id,
+               len(list_filter({_WORDS.replace('text', 'lower(text)')},
+                   w -> w IN ({block}))) AS n_toxic,
+               ROUND(CASE WHEN len({_WORDS}) > 0 THEN
+                   CAST(len(list_filter({_WORDS.replace('text', 'lower(text)')},
+                       w -> w IN ({block}))) AS DOUBLE) / len({_WORDS})
+                   ELSE 0.0 END, 6) AS tox_ratio
+        FROM documents
+    """
 
 
 def _minhash_oracle_sql(n_perm: int, mode: str) -> str:
@@ -569,6 +623,17 @@ def oracle_sql() -> dict[str, str]:
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                 '[REDACTED_EMAIL]', 'g') AS text_redacted
             FROM documents
+        """,
+        "doc_toxicity": _toxicity_oracle_sql(),
+        "emb_near_dup_pairs": """
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                         6) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.30
         """,
         "emb_norms": """
             SELECT vec_id, ROUND(sqrt(list_dot_product(

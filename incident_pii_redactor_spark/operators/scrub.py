@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from incident_pii_redactor_spark.core.pipeline import scrub_document
+from incident_pii_redactor_spark.quality.toxicity import mask_toxic
 from incident_pii_redactor_spark.quality.scorer import (
     RULES,
     QualityConfig,
@@ -57,7 +58,7 @@ _SIGNAL_COLS = (
 
 def _process_batch(
     pdf: pd.DataFrame, text_col: str, id_cols: tuple, cfg: QualityConfig,
-    scrub_dropped: bool,
+    scrub_dropped: bool, mask_toxicity: bool = False,
 ) -> pd.DataFrame:
     texts = pdf[text_col].astype("string").fillna("")
     sig = quality_signals(pd.Series(texts.to_numpy(dtype=object)), cfg)
@@ -82,7 +83,7 @@ def _process_batch(
         if not (flag or scrub_dropped):
             continue
         r = scrub_document(text)
-        scrubbed[i] = r.text_scrubbed
+        scrubbed[i] = mask_toxic(r.text_scrubbed) if mask_toxicity else r.text_scrubbed
         n_red[i] = r.n_redactions
         by_type[i] = {k: int(v) for k, v in sorted(r.redactions_by_type.items())}
         residual[i] = int(r.metrics.get("residual_pii_count", 0))
@@ -107,12 +108,16 @@ def quality_scrub(
     id_cols: tuple = ("url",),
     cfg: QualityConfig = WEB_DEFAULT,
     scrub_dropped: bool = False,
+    mask_toxicity: bool = False,
 ) -> DataFrame:
     """Run the fused quality+scrub stage. Narrow (no shuffle); output keeps
     ``id_cols`` then appends ``RESULT_FIELDS``.
 
     ``scrub_dropped=True`` scrubs every doc regardless of verdict (used by
     parity tests); production leaves it False so drops skip regex work.
+    ``mask_toxicity=True`` additionally replaces block-listed words with
+    ``[TOXIC]`` in the scrubbed text (off by default: the keep/drop gate
+    already drops high-toxicity docs; masking legit prose is opt-in).
     """
     src_schema = dict(zip(df.schema.names, [f.dataType.simpleString()
                                             for f in df.schema.fields]))
@@ -123,6 +128,7 @@ def quality_scrub(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf, text_col, id_cols, cfg, scrub_dropped)
+                yield _process_batch(pdf, text_col, id_cols, cfg,
+                                     scrub_dropped, mask_toxicity)
 
     return pruned.mapInPandas(run, schema=schema)

@@ -33,6 +33,7 @@ RULES = (
     "alpha_frac",
     "dup_line_frac",
     "ellipsis_line_frac",
+    "toxicity",
     "perplexity",
 )
 
@@ -51,6 +52,7 @@ class QualityConfig:
     max_ellipsis_line_frac: float = 0.3
     max_perplexity: float = 1.5e5
     min_lang_conf: float = 0.2
+    max_toxicity_ratio: float = 0.05
 
 
 WEB_DEFAULT = QualityConfig()
@@ -69,11 +71,14 @@ def quality_signals(
     """Score a batch. Returns heuristic signal columns plus:
     lang_pred, lang_conf, ppl, keep (bool), drop_reason (str, '' if kept),
     and one boolean ``rule_<name>`` column per rule (True = passed)."""
+    from incident_pii_redactor_spark.quality.toxicity import toxicity_ratio
+
     sig = heuristic_signals(texts)
     langs, conf = predict_language(list(texts.fillna("")))
     sig["lang_pred"] = langs
     sig["lang_conf"] = conf
     sig["ppl"] = perplexity_batch(texts)
+    sig["tox_ratio"] = toxicity_ratio(texts)
 
     passed = {
         "lang_allowed": np.isin(langs.astype(str), cfg.allowed_langs)
@@ -89,6 +94,7 @@ def quality_signals(
         "dup_line_frac": sig["dup_line_frac"].to_numpy() <= cfg.max_dup_line_frac,
         "ellipsis_line_frac": sig["ellipsis_line_frac"].to_numpy()
         <= cfg.max_ellipsis_line_frac,
+        "toxicity": sig["tox_ratio"].to_numpy() <= cfg.max_toxicity_ratio,
         "perplexity": sig["ppl"].to_numpy() <= cfg.max_perplexity,
     }
     keep = np.ones(len(texts), dtype=bool)

@@ -27,7 +27,7 @@ _WORDS = {lang: seed.split() for lang, seed in LANG_SEEDS.items()}
 
 # (class tag, relative weight)
 CLASSES = (
-    ("clean", 40),
+    ("clean", 36),
     ("pii", 15),
     ("short", 8),
     ("symbol", 6),
@@ -36,6 +36,7 @@ CLASSES = (
     ("nonen", 10),
     ("adversarial", 5),
     ("premarked", 4),
+    ("toxic", 4),
 )
 _CLASS_TAGS = [c for c, w in CLASSES for _ in range(w)]
 
@@ -124,6 +125,14 @@ def _make_text(rng: random.Random, cls: str) -> tuple[str, str]:
             "trace " + "".join(rng.choice("0123456789abcdef") for _ in range(40)),
         ]
         return base + "\n" + "\n".join(extras), "en"
+    if cls == "toxic":
+        from incident_pii_redactor_spark.quality.toxicity import BLOCK_WORDS
+
+        base = _prose(rng, "en", rng.randint(60, 120)).split("\n")
+        bad = sorted(BLOCK_WORDS)
+        rant = " ".join(bad[rng.randrange(len(bad))] for _ in range(20))
+        lines = base + [f"comments: {rant}", f"more: {rant}"]
+        return "\n".join(lines), "en"
     if cls == "premarked":
         base = _prose(rng, "en", rng.randint(60, 120))
         return (

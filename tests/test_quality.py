@@ -89,3 +89,17 @@ def test_vectorized_batch_matches_single():
         assert bool(batch["keep"][i]) == bool(single["keep"][0])
         assert batch["drop_reason"][i] == single["drop_reason"][0]
         assert np.isclose(batch["ppl"][i], single["ppl"][0])
+
+
+def test_toxicity_rule_and_mask():
+    from incident_pii_redactor_spark.quality.toxicity import mask_toxic, toxicity_ratio
+
+    tox = GOOD + " " + ("idiot moron jerk scum " * 10)
+    ratio = toxicity_ratio(pd.Series([GOOD, tox]))
+    assert ratio[0] == 0.0 and ratio[1] > 0.05
+    s = _sig([tox])
+    assert not bool(s["keep"][0])
+    assert s["drop_reason"][0] == "toxicity"
+    masked = mask_toxic("You absolute moron, the Idiot said.")
+    assert "moron" not in masked and "Idiot" not in masked
+    assert masked.count("[TOXIC]") == 2

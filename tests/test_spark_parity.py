@@ -105,3 +105,23 @@ def test_scrub_plan_is_narrow_and_pruned(spark, pages_parquet):
     plan = quality_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow: zero shuffles
     assert "html" not in plan  # pruned at the parquet scan
+
+
+def test_toxic_class_dropped(spark_out):
+    tox = spark_out[spark_out.index.str.contains("/toxic/")]
+    assert len(tox) > 30
+    assert (~tox.keep).all()
+    assert (tox.drop_reason == "toxicity").all()
+
+
+def test_mask_toxicity_optin(spark):
+    df = spark.createDataFrame(
+        [("u1", "the quick brown fox jumps over the lazy dog and runs through "
+                "the green field while the sun rises slowly over the hills and "
+                "one moron said hello to the crowd near the market today again "
+                "and the children wanted to play outside near the old stone "
+                "bridge where the river bends this morning we walked to town")],
+        "url string, text string")
+    out = quality_scrub(df, mask_toxicity=True).collect()[0]
+    assert out.keep
+    assert "[TOXIC]" in out.text_scrubbed and "moron" not in out.text_scrubbed
