@@ -90,9 +90,11 @@ FIRST_NAMES = frozenset(
     aaron jose adam nathan henry douglas zachary peter kyle noah ethan
     alice bob carlos diana frank grace henry ivan julia""".split()
 )
-# zero-width lookahead so candidate pairs may overlap ("Contact John Smith"
-# must still yield "John Smith" after "Contact John" fails the name gate)
-PERSON_RE = re.compile(r"(?=\b([A-Z][a-z]{2,15})\s+([A-Z][a-z]{2,20})\b)")
+# consumes only the FIRST word and looks ahead for the second, so candidate
+# pairs may overlap ("Contact John Smith" must still yield "John Smith"
+# after "Contact John" fails the name gate) while the scan stays
+# O(candidates), not O(len) zero-width attempts
+PERSON_RE = re.compile(r"\b([A-Z][a-z]{2,15})\s+(?=([A-Z][a-z]{2,20})\b)")
 
 # words that look like name-starts but are prose (FP guard)
 _NOT_SURNAMES = frozenset(
@@ -135,6 +137,17 @@ def _valid_ip(s: str) -> bool:
 _FP_EMAIL = re.compile(r"@(?:example|test|sample)\.(?:com|org|net)$", re.I)
 
 
+# exact short-circuit gates: a pattern that REQUIRES one of these
+# characters/substrings cannot match a text lacking it, so the (much
+# cheaper, memchr-backed) `in` test skips whole finditer passes. Clean
+# prose — the common case at corpus scale — has no '@', no digits, no
+# uppercase runs, so it skips nearly everything. Pure short-circuits:
+# zero semantic change, verified by the shared-oracle parity tests.
+_DIGIT_RE = re.compile(r"\d")
+_UPPER_RE = re.compile(r"[A-Z]")
+_HOST_TLDS = (".internal", ".corp", ".local", ".lan")
+
+
 def detect_pii(text: str) -> list[Span]:
     """D1+D5: core PII entity scan with validation predicates.
 
@@ -143,36 +156,46 @@ def detect_pii(text: str) -> list[Span]:
     0.99; plain pattern matches 0.85-0.95; gated person names 0.85.
     """
     spans: list[Span] = []
-    for m in EMAIL_RE.finditer(text):
-        if _FP_EMAIL.search(m.group()):
-            continue  # D5: example-domain emails are FPs
-        spans.append(Span(m.start(), m.end(), "email", 0.99, m.group()))
-    for m in SSN_RE.finditer(text):
-        if _valid_ssn(m.group()):
-            spans.append(Span(m.start(), m.end(), "ssn", 0.99, m.group()))
-    for m in CARD_RE.finditer(text):
-        digits = re.sub(r"[- ]", "", m.group())
-        if 13 <= len(digits) <= 19 and luhn_valid(digits):
-            spans.append(Span(m.start(), m.end(), "credit_card", 0.99, m.group()))
-    for m in PHONE_RE.finditer(text):
-        digits = re.sub(r"\D", "", m.group())
-        if len(digits) < 10:  # D5: 4-digit "phones" are FPs
-            continue
-        spans.append(Span(m.start(), m.end(), "phone", 0.95, m.group()))
-    for m in IP_RE.finditer(text):
-        if _valid_ip(m.group()):
-            spans.append(Span(m.start(), m.end(), "ip_address", 0.95, m.group()))
-    for m in API_KEY_RE.finditer(text):
-        spans.append(Span(m.start(), m.end(), "api_key", 0.95, m.group()))
-    for m in HOSTNAME_RE.finditer(text):
-        spans.append(Span(m.start(), m.end(), "hostname", 0.9, m.group()))
-    for m in PERSON_RE.finditer(text):
-        first, last = m.group(1), m.group(2)
-        if first.lower() in FIRST_NAMES and last not in _NOT_SURNAMES:
-            spans.append(
-                Span(m.start(1), m.end(2), "person_name", 0.85,
-                     text[m.start(1): m.end(2)])
-            )
+    has_digit = _DIGIT_RE.search(text) is not None
+    if "@" in text:
+        for m in EMAIL_RE.finditer(text):
+            if _FP_EMAIL.search(m.group()):
+                continue  # D5: example-domain emails are FPs
+            spans.append(Span(m.start(), m.end(), "email", 0.99, m.group()))
+    if has_digit:
+        for m in SSN_RE.finditer(text):
+            if _valid_ssn(m.group()):
+                spans.append(Span(m.start(), m.end(), "ssn", 0.99, m.group()))
+        for m in CARD_RE.finditer(text):
+            digits = re.sub(r"[- ]", "", m.group())
+            if 13 <= len(digits) <= 19 and luhn_valid(digits):
+                spans.append(
+                    Span(m.start(), m.end(), "credit_card", 0.99, m.group())
+                )
+        for m in PHONE_RE.finditer(text):
+            digits = re.sub(r"\D", "", m.group())
+            if len(digits) < 10:  # D5: 4-digit "phones" are FPs
+                continue
+            spans.append(Span(m.start(), m.end(), "phone", 0.95, m.group()))
+        for m in IP_RE.finditer(text):
+            if _valid_ip(m.group()):
+                spans.append(
+                    Span(m.start(), m.end(), "ip_address", 0.95, m.group())
+                )
+        for m in API_KEY_RE.finditer(text):
+            spans.append(Span(m.start(), m.end(), "api_key", 0.95, m.group()))
+    if any(t in text for t in _HOST_TLDS):
+        for m in HOSTNAME_RE.finditer(text):
+            spans.append(Span(m.start(), m.end(), "hostname", 0.9, m.group()))
+    if _UPPER_RE.search(text):
+        for m in PERSON_RE.finditer(text):
+            first, last = m.group(1), m.group(2)
+            if first.lower() in FIRST_NAMES and last not in _NOT_SURNAMES:
+                # lookahead groups record positions, so end(2) is valid
+                spans.append(
+                    Span(m.start(1), m.end(2), "person_name", 0.85,
+                         text[m.start(1): m.end(2)])
+                )
     return spans
 
 
@@ -195,12 +218,26 @@ CUSTOM_PATTERNS: dict[str, re.Pattern] = {
 }
 
 
+# exact gate per custom pattern: a required literal each regex cannot
+# match without (same short-circuit principle as detect_pii's gates)
+_CUSTOM_GATES = {
+    "internal_url": "http",
+    "jira_ticket": "-",
+    "aws_arn": "arn:aws:",
+    "kubernetes_pod": "-",
+    "slack_channel": "#",
+    "docker_image": ":",
+}
+
+
 def detect_custom(text: str, existing: list[Span]) -> list[Span]:
     """D3: infra-pattern scan, skipping positions already covered by
     higher-priority detections (reference deterministic_extractor.py:223-265)."""
     covered = covered_positions(existing)
     spans: list[Span] = []
     for name, pat in CUSTOM_PATTERNS.items():
+        if _CUSTOM_GATES[name] not in text:
+            continue
         for m in pat.finditer(text):
             if any(p in covered for p in (m.start(), m.end() - 1)):
                 continue
@@ -238,14 +275,17 @@ def detect_keywords(text: str, existing: list[Span]) -> list[Span]:
     where 0.3 < the 0.8 splice threshold at deterministic_extractor.py:368-383)."""
     covered = covered_positions(existing)
     spans: list[Span] = []
-    for m in _SECRET_ASSIGN_RE.finditer(text):
-        s, e = m.start(1), m.end(1)
-        if any(p in covered for p in (s, e - 1)):
-            continue
-        spans.append(
-            Span(s, e, "secret_value", 0.9, m.group(1), method="keyword",
-                 action=REDACT)
-        )
+    if ":" not in text and "=" not in text:
+        pass  # secret-assignment form needs a separator
+    else:
+        for m in _SECRET_ASSIGN_RE.finditer(text):
+            s, e = m.start(1), m.end(1)
+            if any(p in covered for p in (s, e - 1)):
+                continue
+            spans.append(
+                Span(s, e, "secret_value", 0.9, m.group(1), method="keyword",
+                     action=REDACT)
+            )
     for m in _KEYWORD_RE.finditer(text):
         if m.start() in covered:
             continue
@@ -329,12 +369,28 @@ def _context_confidence(category: str, match_text: str, context: str) -> float:
     return max(0.0, min(1.0, conf))
 
 
+# exact gates per contextual family (case-insensitive patterns -> check
+# the lowered text; computed once per call)
+_CONTEXTUAL_GATES = {
+    "employment_info": ("employee", "staff"),
+    "salary_info": ("$",),
+    "internal_platforms": ("grafana", "kibana", "jenkins", "vault", "consul"),
+    "internal_metrics": ("arr", "mrr", "churn"),
+    "customer_data_refs": ("cust",),
+    "intellectual_property": ("patent", "proprietary", "trade secret"),
+    "investigation_details": ("case", "investigation"),
+}
+
+
 def detect_contextual(text: str, existing: list[Span]) -> list[Span]:
     """D6: contextual finder — dedup vs existing spans, admit conf >= 0.6
     (reference llm_detector.py:97-141)."""
     covered = covered_positions(existing)
     spans: list[Span] = []
+    lower = text.lower()
     for category, pat in CONTEXTUAL_PATTERNS.items():
+        if not any(g in lower for g in _CONTEXTUAL_GATES[category]):
+            continue
         for m in pat.finditer(text):
             if any(p in covered for p in (m.start(), m.end() - 1)):
                 continue

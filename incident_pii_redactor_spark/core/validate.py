@@ -64,9 +64,17 @@ def _mask_exclusions(text: str) -> str:
     return _EXCLUSION_RE.sub(lambda m: "\x00" * len(m.group()), text)
 
 
+import re as _re
+
+_DIGIT_RE = _re.compile(r"\d")
+
+
 def residual_pii(processed: str) -> list[dict]:
     """D9+D10: re-run core PII regexes on scrubbed text; each hit is a
     CRITICAL issue (a redaction the pipeline missed)."""
+    has_digit = _DIGIT_RE.search(processed) is not None
+    if "@" not in processed and not has_digit:
+        return []  # every residual pattern requires '@' or a digit
     masked = _mask_exclusions(processed)
     issues: list[dict] = []
 
@@ -76,20 +84,33 @@ def residual_pii(processed: str) -> list[dict]:
              "location": m.start(), "text": m.group()}
         )
 
-    for m in EMAIL_RE.finditer(masked):
-        add("email", m)
-    for m in SSN_RE.finditer(masked):
-        add("ssn", m)
-    for m in CARD_RE.finditer(masked):
-        digits = re.sub(r"[- ]", "", m.group())
-        if 13 <= len(digits) <= 19 and luhn_valid(digits):
-            add("credit_card", m)
-    for m in PHONE_RE.finditer(masked):
-        if len(re.sub(r"\D", "", m.group())) >= 10:
-            add("phone", m)
-    for m in IP_RE.finditer(masked):
-        add("ip_address", m, severity="high")
+    if "@" in masked:
+        for m in EMAIL_RE.finditer(masked):
+            add("email", m)
+    if has_digit:
+        for m in SSN_RE.finditer(masked):
+            add("ssn", m)
+        for m in CARD_RE.finditer(masked):
+            digits = re.sub(r"[- ]", "", m.group())
+            if 13 <= len(digits) <= 19 and luhn_valid(digits):
+                add("credit_card", m)
+        for m in PHONE_RE.finditer(masked):
+            if len(re.sub(r"\D", "", m.group())) >= 10:
+                add("phone", m)
+        for m in IP_RE.finditer(masked):
+            add("ip_address", m, severity="high")
     return issues
+
+
+# exact gates: each adversarial pattern requires one of these substrings
+# (hex_run has no cheap exact gate — letters a-f occur in all prose — so
+# it always runs)
+_ADVERSARIAL_GATES = {
+    "spaced_email": ("@",),
+    "spaced_phone": ("0", "1", "2", "3", "4", "5", "6", "7", "8", "9"),
+    "partial_ssn": ("-",),
+    "base64_blob": ("=",),
+}
 
 
 def adversarial_scan(processed: str) -> list[dict]:
@@ -97,6 +118,9 @@ def adversarial_scan(processed: str) -> list[dict]:
     masked = _mask_exclusions(processed)
     issues: list[dict] = []
     for kind, pat in ADVERSARIAL_PATTERNS.items():
+        gates = _ADVERSARIAL_GATES.get(kind)
+        if gates is not None and not any(g in masked for g in gates):
+            continue
         for m in pat.finditer(masked):
             issues.append(
                 {"issue_type": f"adversarial_{kind}", "severity": "high",
