@@ -1,0 +1,66 @@
+"""Custom stateful/grouped operators: streaming exact dedup
+(applyInPandasWithState) and host boilerplate strip (applyInPandas)."""
+
+import pytest
+
+from incident_pii_redactor_spark.operators.boilerplate import host_boilerplate_strip
+from incident_pii_redactor_spark.streaming.dedup_stream import streaming_exact_dedup
+from incident_pii_redactor_spark.streaming.scrub_stream import read_pages_stream
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+    import pandas as pd
+
+    d = tmp_path / "in"
+    d.mkdir()
+    ts = dt.datetime(2025, 1, 1)
+    mk = lambda rows: pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    # batch 1: two distinct texts (one duplicated); batch 2: re-fetch + new
+    pq.write_table(mk([
+        ("https://a/1", ts, b"", "alpha beta gamma", "en"),
+        ("https://a/2", ts, b"", "alpha beta gamma", "en"),
+        ("https://a/3", ts, b"", "delta epsilon", "en"),
+    ]), str(d / "b1.parquet"))
+    pq.write_table(mk([
+        ("https://a/4", ts, b"", "alpha  beta   gamma", "en"),  # ws-normalized dup
+        ("https://a/5", ts, b"", "zeta eta theta", "en"),
+    ]), str(d / "b2.parquet"))
+
+    pages = read_pages_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(pages)
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.url: r.text for r in spark.sql("select * from dedup_out").collect()}
+    # first-seen per fingerprint only: /1 (not /2, /4), /3, /5
+    assert set(got) == {"https://a/1", "https://a/3", "https://a/5"}
+
+
+def test_host_boilerplate_strip(spark):
+    footer = "subscribe to our newsletter | cookie policy"
+    rows = []
+    for i in range(10):
+        rows.append((f"https://big.example.com/p{i}",
+                     f"unique content number {i}\n{footer}"))
+    rows.append(("https://small.example.com/p0", f"tiny site\n{footer}"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in host_boilerplate_strip(df, min_pages=5).collect()}
+
+    big = out["https://big.example.com/p3"]
+    assert footer not in big.text_clean
+    assert "unique content number 3" in big.text_clean
+    assert big.n_lines_removed == 1
+    # small host: insufficient evidence -> untouched
+    small = out["https://small.example.com/p0"]
+    assert footer in small.text_clean and small.n_lines_removed == 0
