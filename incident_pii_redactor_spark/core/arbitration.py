@@ -168,13 +168,19 @@ def arbitrate(
     text: str,
     deterministic: list[Span],
     finder: list[Span],
+    policy=None,
 ) -> tuple[list[Span], dict[str, int]]:
     """C2-C7: fuse stages into final per-span decisions + stats.
 
     Returns (final spans with action/replacement set, counters dict with
     keys conflicts_resolved / force_rules_applied / context_adjustments —
-    reference arbitration_engine.py:288-296).
+    reference arbitration_engine.py:288-296). ``policy`` (core.policy.Policy)
+    overrides force rules / tokens / exceptions; None = built-in defaults.
     """
+    if policy is None:
+        from incident_pii_redactor_spark.core.policy import DEFAULT_POLICY
+
+        policy = DEFAULT_POLICY
     stats = {"conflicts_resolved": 0, "force_rules_applied": 0,
              "context_adjustments": 0}
 
@@ -205,12 +211,18 @@ def arbitrate(
         base = candidates[0]
         action, conf = _vote(candidates)
 
+        # C7 — policy exceptions force RETAIN before anything else
+        if policy.is_exception(base.entity_type, base.text):
+            final.append(base.copy(action=RETAIN, confidence=conf,
+                                   replacement=""))
+            continue
+
         # C4 — force rules override the vote
-        if base.entity_type in FORCE_REDACT:
+        if base.entity_type in policy.force_redact:
             if action != REDACT:
                 stats["force_rules_applied"] += 1
             action = REDACT
-        elif base.entity_type in DEFAULT_PSEUDONYMIZE and action == RETAIN:
+        elif base.entity_type in policy.default_pseudonymize and action == RETAIN:
             # default-pseudonymize types only stay RETAIN via context below
             action = PSEUDONYMIZE
             stats["force_rules_applied"] += 1
@@ -231,7 +243,9 @@ def arbitrate(
             stats["context_adjustments"] += 1
 
         if action == REDACT:
-            replacement = REDACTION_TOKENS.get(base.entity_type, DEFAULT_TOKEN)
+            replacement = policy.redaction_tokens.get(
+                base.entity_type, policy.default_token
+            )
         elif action == PSEUDONYMIZE:
             replacement = pseudonym(base.entity_type, base.text)
         else:

@@ -41,14 +41,16 @@ class ScrubResult:
         return 0.0  # kept for API parity; computed where original length known
 
 
-def scrub_document(text: str) -> ScrubResult:
-    """Run the full 5-stage pipeline on one document. Deterministic."""
+def scrub_document(text: str, policy=None) -> ScrubResult:
+    """Run the full 5-stage pipeline on one document. Deterministic.
+    ``policy`` (core.policy.Policy) customizes force rules / tokens /
+    exceptions; None = built-in defaults."""
     if not text:
         return ScrubResult(text_scrubbed=text or "")
 
     deterministic = detect_deterministic(text)          # stage 1 (D1-D5, C1)
     finder = detect_contextual(text, deterministic)     # stage 2 (D6-D8)
-    decisions, arb_stats = arbitrate(text, deterministic, finder)  # 3+4
+    decisions, arb_stats = arbitrate(text, deterministic, finder, policy)  # 3+4
     scrubbed, lineage = splice(text, decisions)         # stage 4b (R1-R4)
 
     applied = [rec for rec in lineage if rec["action"] != "SKIPPED_NO_MATCH"]

@@ -189,6 +189,27 @@ def quality_metrics(n_decisions: int, issues: list[dict]) -> dict:
     }
 
 
+def recommendations(metrics: dict, issues: list[dict]) -> list[str]:
+    """A6: threshold rules over metrics/issues -> advisory strings
+    (reference quality_validator.py:579-622)."""
+    recs: list[str] = []
+    if metrics.get("residual_pii_count", 0) > 0:
+        recs.append("residual PII detected: review detector coverage for the "
+                    "flagged types")
+    if metrics.get("precision", 1.0) < 0.9:
+        recs.append("precision below 0.9: tighten low-confidence patterns or "
+                    "raise the splice threshold")
+    if metrics.get("overall_quality_score", 1.0) < 0.7:
+        recs.append("overall quality below 0.7: manual review recommended")
+    if any(i["issue_type"].startswith("adversarial_") for i in issues):
+        recs.append("obfuscated PII patterns present: consider enabling "
+                    "aggressive normalization before detection")
+    if any(i["issue_type"] == "replacement_frequency" for i in issues):
+        recs.append("a redaction token repeats >10x in one document: verify "
+                    "the source is not already templated")
+    return recs
+
+
 def validate(original: str, processed: str, n_decisions: int) -> tuple[list[dict], dict]:
     """Full validation pass: D9-D11 + A9 + A11 issues, then A5 metrics."""
     issues = (

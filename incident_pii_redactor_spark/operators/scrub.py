@@ -58,7 +58,7 @@ _SIGNAL_COLS = (
 
 def _process_batch(
     pdf: pd.DataFrame, text_col: str, id_cols: tuple, cfg: QualityConfig,
-    scrub_dropped: bool, mask_toxicity: bool = False,
+    scrub_dropped: bool, mask_toxicity: bool = False, policy=None,
 ) -> pd.DataFrame:
     texts = pdf[text_col].astype("string").fillna("")
     sig = quality_signals(pd.Series(texts.to_numpy(dtype=object)), cfg)
@@ -82,7 +82,7 @@ def _process_batch(
     for i, (flag, text) in enumerate(zip(keep, texts.to_numpy(dtype=object))):
         if not (flag or scrub_dropped):
             continue
-        r = scrub_document(text)
+        r = scrub_document(text, policy)
         scrubbed[i] = mask_toxic(r.text_scrubbed) if mask_toxicity else r.text_scrubbed
         n_red[i] = r.n_redactions
         by_type[i] = {k: int(v) for k, v in sorted(r.redactions_by_type.items())}
@@ -109,6 +109,7 @@ def quality_scrub(
     cfg: QualityConfig = WEB_DEFAULT,
     scrub_dropped: bool = False,
     mask_toxicity: bool = False,
+    policy=None,
 ) -> DataFrame:
     """Run the fused quality+scrub stage. Narrow (no shuffle); output keeps
     ``id_cols`` then appends ``RESULT_FIELDS``.
@@ -129,6 +130,6 @@ def quality_scrub(
         for pdf in batches:
             if len(pdf):
                 yield _process_batch(pdf, text_col, id_cols, cfg,
-                                     scrub_dropped, mask_toxicity)
+                                     scrub_dropped, mask_toxicity, policy)
 
     return pruned.mapInPandas(run, schema=schema)

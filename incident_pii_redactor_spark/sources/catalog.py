@@ -1,0 +1,37 @@
+"""Input-table adapter: Iceberg catalog table or plain Parquet path,
+one call site (north rule: "over Iceberg tables"; this sandbox has no
+Iceberg runtime jar, so the Parquet branch is what tests exercise —
+schemas are identical and the engine never depends on which one it got).
+
+Production session config for the Iceberg branch (documented here, inert
+without the runtime jar):
+
+    spark.sql.catalog.cc = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.cc.type = glue | hive | rest
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+
+Iceberg gives the 10^12-row input what plain directories cannot:
+snapshot-isolated reads for resume (read the SAME snapshot across job
+retries via ``VERSION AS OF``), partition-pruned manifests instead of
+file listing, and hidden-partitioning on ``days(warc_ts)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_PREFIX = "iceberg:"
+
+
+def read_pages(spark: SparkSession, source: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Read the pages table from ``iceberg:<catalog.db.table>`` or a
+    parquet path. ``snapshot_id`` pins an Iceberg snapshot (resume runs
+    MUST pin one so retries see identical input)."""
+    if source.startswith(ICEBERG_PREFIX):
+        table = source[len(ICEBERG_PREFIX):]
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.table(table)
+    return spark.read.parquet(source)

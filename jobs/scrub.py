@@ -40,6 +40,7 @@ from incident_pii_redactor_spark.operators.resume import (
     with_bucket,
 )
 from incident_pii_redactor_spark.operators.salting import salted_repartition
+from incident_pii_redactor_spark.sources.catalog import read_pages
 from incident_pii_redactor_spark.operators.scrub import quality_scrub
 from incident_pii_redactor_spark.plans import build_session
 from incident_pii_redactor_spark.quality.scorer import WEB_DEFAULT
@@ -47,7 +48,8 @@ from incident_pii_redactor_spark.quality.scorer import WEB_DEFAULT
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", required=True,
+                   help="parquet path or iceberg:<catalog.db.table>")
     p.add_argument("--output", required=True)
     p.add_argument("--manifest", required=True)
     p.add_argument("--run-id", default="run1")
@@ -69,7 +71,7 @@ def run(args, spark=None) -> dict:
     if owns_session:
         spark = build_session("pii-scrub-job", master=args.master)
     try:
-        df = with_bucket(spark.read.parquet(args.input), "url", args.n_buckets)
+        df = with_bucket(read_pages(spark, args.input), "url", args.n_buckets)
         manifest = read_manifest(spark, args.manifest)
         todo = pending(df, manifest, args.run_id)
 

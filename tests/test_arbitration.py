@@ -69,3 +69,28 @@ def test_end_to_end_zero_residual_on_pii_doc():
     r = scrub_document(t)
     assert r.metrics["residual_pii_count"] == 0
     assert r.n_redactions >= 5
+
+
+def test_policy_exceptions_and_custom_tokens(tmp_path):
+    import json
+
+    from incident_pii_redactor_spark.core.policy import Policy
+
+    p = tmp_path / "policy.json"
+    p.write_text(json.dumps({
+        "exceptions": {"email": ["support@corp1.com"]},
+        "redaction_tokens": {"email": "<EMAIL-GONE>"},
+    }))
+    policy = Policy.from_json(str(p))
+    t = "Write support@corp1.com or personal bob.lee@corp1.com today."
+    out = scrub_document(t, policy).text_scrubbed
+    assert "support@corp1.com" in out        # C7 exception retained
+    assert "bob.lee@corp1.com" not in out
+    assert "<EMAIL-GONE>" in out             # custom R3 token
+
+
+def test_default_policy_matches_constants():
+    from incident_pii_redactor_spark.core.policy import DEFAULT_POLICY
+
+    t = "mail x@y.io now"
+    assert scrub_document(t).text_scrubbed == scrub_document(t, DEFAULT_POLICY).text_scrubbed

@@ -163,3 +163,26 @@ def test_salted_repartition_spreads_hot_key(spark):
     a = df.select(salted_key(F.col("url"), 8).alias("s")).collect()
     b = df.select(salted_key(F.col("url"), 8).alias("s")).collect()
     assert a == b
+
+
+def test_recommendations_a6():
+    from incident_pii_redactor_spark.core.validate import recommendations
+
+    recs = recommendations(
+        {"residual_pii_count": 1, "precision": 0.5,
+         "overall_quality_score": 0.4},
+        [{"issue_type": "adversarial_hex_run", "severity": "high"}],
+    )
+    assert len(recs) == 4
+    assert recommendations({"residual_pii_count": 0}, []) == []
+
+
+def test_catalog_adapter_parquet_branch(spark, docs):
+    import tempfile, os
+
+    from incident_pii_redactor_spark.sources.catalog import read_pages
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "t"))
+    got = read_pages(spark, os.path.join(d, "t"))
+    assert got.count() == docs.count()

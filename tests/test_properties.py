@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the span algebra and scoring —
+invariants no example-based test pins down (SURVEY.md §5 notes the
+reference has none; these guard the byte-identity contract's foundations)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from incident_pii_redactor_spark.core.detectors import detect_pii, luhn_valid
+from incident_pii_redactor_spark.core.pipeline import scrub_document
+from incident_pii_redactor_spark.core.spans import (
+    REDACT,
+    RETAIN,
+    Span,
+    resolve_overlaps,
+    splice,
+)
+
+spans_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 200), st.integers(1, 30),
+        st.sampled_from(["email", "phone", "ssn", "ip_address"]),
+        st.floats(0.1, 1.0),
+    ).map(lambda t: Span(t[0], t[0] + t[1], t[2], round(t[3], 2), "x" * t[1])),
+    max_size=20,
+)
+
+
+@given(spans_strategy)
+def test_resolve_overlaps_invariants(spans):
+    out = resolve_overlaps(spans)
+    # non-overlapping and start-sorted
+    for a, b in zip(out, out[1:]):
+        assert a.end <= b.start
+    # subset of input (identity-preserving)
+    ids = {id(s) for s in spans}
+    assert all(id(s) in ids for s in out)
+    # deterministic under input permutation
+    assert resolve_overlaps(list(reversed(spans))) == out
+
+
+@given(st.text(alphabet="ab @.\n0123456789-", max_size=120))
+def test_splice_length_arithmetic(text):
+    spans = detect_pii(text)
+    resolved = resolve_overlaps(spans)
+    for s in resolved:
+        s.action = REDACT
+        s.replacement = "[X]"
+    out, lineage = splice(text, resolved)
+    applied = [r for r in lineage if r["action"] != "SKIPPED_NO_MATCH"]
+    expected = len(text) + sum(
+        len("[X]") - (r["end"] - r["start"]) for r in applied
+    )
+    assert len(out) == expected
+
+
+@given(st.text(max_size=300))
+def test_scrub_never_crashes_and_is_deterministic(text):
+    a = scrub_document(text)
+    b = scrub_document(text)
+    assert a.text_scrubbed == b.text_scrubbed
+    assert a.n_redactions == b.n_redactions
+    # line structure preserved (A11 invariant: splice never adds newlines
+    # unless a replacement contains one — ours never do)
+    assert a.text_scrubbed.count("\n") == text.count("\n")
+
+
+@given(st.integers(0, 10**14))
+def test_luhn_check_digit_construction(n):
+    body = str(n)
+    digits = [int(c) for c in body]
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    full = body + str((10 - total % 10) % 10)
+    assert luhn_valid(full)
+    # and exactly one check digit validates
+    assert sum(luhn_valid(body + str(k)) for k in range(10)) == 1
+
+
+@given(st.lists(st.text(alphabet="abcdefgh @.#\n", min_size=0, max_size=80),
+                min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_quality_signals_batch_order_invariance(texts):
+    import pandas as pd
+
+    from incident_pii_redactor_spark.quality.scorer import quality_signals
+
+    fwd = quality_signals(pd.Series(texts))
+    rev = quality_signals(pd.Series(list(reversed(texts))))
+    for i in range(len(texts)):
+        j = len(texts) - 1 - i
+        assert bool(fwd["keep"][i]) == bool(rev["keep"][j])
+        assert fwd["drop_reason"][i] == rev["drop_reason"][j]
+        assert abs(fwd["ppl"][i] - rev["ppl"][j]) < 1e-9
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_langid_total_on_arbitrary_unicode(text):
+    from incident_pii_redactor_spark.quality.langid import predict_language
+
+    langs, conf = predict_language([text])
+    assert langs[0] in ("en", "de", "es", "fr", "zh", "und")
+    assert 0.0 <= conf[0] <= 1.0
