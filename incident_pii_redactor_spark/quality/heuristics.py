@@ -10,6 +10,8 @@ Gopher" Table A1; Raffel et al. 2020 C4):
                                   ratio floor — keyword-stuffing guard)
 * alphabetic-word fraction       (Gopher: >= 80% words contain a letter)
 * duplicate-line fraction        (Gopher repetition rules / C4 boilerplate)
+* duplicate-paragraph fraction   (Gopher repetition rules)
+* top-bigram fraction            (Gopher: most frequent 2-gram bounded)
 * ellipsis-line fraction         (Gopher: <= 30% lines end with '...')
 
 All computed for a whole Arrow batch with pandas/numpy; the only per-doc
@@ -88,6 +90,30 @@ def heuristic_signals(texts: pd.Series) -> pd.DataFrame:
     dup_line_frac = np.fromiter(
         (_dup_frac(lst) for lst in lines), dtype=np.float64, count=n
     )
+    paragraphs = s.str.split("\n\n")
+    dup_para_frac = np.fromiter(
+        (_dup_frac(lst) for lst in paragraphs), dtype=np.float64, count=n
+    )
+
+    # Gopher repetition: fraction of bigram occurrences taken by the most
+    # frequent bigram, per doc — fully vectorized via np.unique over
+    # (doc, bigram-code) composite keys
+    top_bigram_frac = np.zeros(n)
+    if flat.size >= 2:
+        same = doc_ids[:-1] == doc_ids[1:]
+        if same.any():
+            v = len(uniques) + 1
+            bi = (codes[:-1][same].astype(np.int64) * v
+                  + codes[1:][same].astype(np.int64))
+            key = doc_ids[:-1][same] * (v * v) + bi
+            uniq_keys, cnts = np.unique(key, return_counts=True)
+            owner = (uniq_keys // (v * v)).astype(np.int64)
+            np.maximum.at(top_bigram_frac, owner, cnts.astype(np.float64))
+            totals = np.bincount(doc_ids[:-1][same], minlength=n).astype(
+                np.float64
+            )
+            has = totals > 0
+            top_bigram_frac[has] = top_bigram_frac[has] / totals[has]
     ellipsis_line_frac = np.fromiter(
         (
             (sum(1 for ln in lst if ln.rstrip().endswith("...")) / len(lst))
@@ -106,6 +132,8 @@ def heuristic_signals(texts: pd.Series) -> pd.DataFrame:
             "symbol_ratio": symbol_ratio,
             "alpha_frac": alpha_frac,
             "dup_line_frac": dup_line_frac,
+            "dup_para_frac": dup_para_frac,
+            "top_bigram_frac": top_bigram_frac,
             "ellipsis_line_frac": ellipsis_line_frac,
             "n_chars": s.str.len().to_numpy(np.int64),
         }

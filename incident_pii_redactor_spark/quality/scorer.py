@@ -32,6 +32,8 @@ RULES = (
     "stopword_ratio",
     "alpha_frac",
     "dup_line_frac",
+    "dup_para_frac",
+    "top_bigram_frac",
     "ellipsis_line_frac",
     "toxicity",
     "perplexity",
@@ -49,6 +51,8 @@ class QualityConfig:
     min_stopword_ratio: float = 0.06
     min_alpha_frac: float = 0.8
     max_dup_line_frac: float = 0.3
+    max_dup_para_frac: float = 0.3
+    max_top_bigram_frac: float = 0.18
     max_ellipsis_line_frac: float = 0.3
     max_perplexity: float = 1.5e5
     min_lang_conf: float = 0.2
@@ -92,6 +96,10 @@ def quality_signals(
         >= cfg.min_stopword_ratio,
         "alpha_frac": sig["alpha_frac"].to_numpy() >= cfg.min_alpha_frac,
         "dup_line_frac": sig["dup_line_frac"].to_numpy() <= cfg.max_dup_line_frac,
+        "dup_para_frac": sig["dup_para_frac"].to_numpy()
+        <= cfg.max_dup_para_frac,
+        "top_bigram_frac": sig["top_bigram_frac"].to_numpy()
+        <= cfg.max_top_bigram_frac,
         "ellipsis_line_frac": sig["ellipsis_line_frac"].to_numpy()
         <= cfg.max_ellipsis_line_frac,
         "toxicity": sig["tox_ratio"].to_numpy() <= cfg.max_toxicity_ratio,

@@ -186,3 +186,28 @@ def test_catalog_adapter_parquet_branch(spark, docs):
     docs.write.mode("overwrite").parquet(os.path.join(d, "t"))
     got = read_pages(spark, os.path.join(d, "t"))
     assert got.count() == docs.count()
+
+
+def test_ivf_ann_recall_on_clusters(spark):
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 16).astype("float32")
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = base[c] + 0.05 * rng.randn(16).astype("float32")
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[7][1]
+    exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+    approx = {r.vec_id for r in ivf_ann_topk(df, q, k=10, n_list=8,
+                                             n_probe=3).collect()}
+    assert len(exact & approx) / 10 >= 0.8

@@ -103,3 +103,17 @@ def test_toxicity_rule_and_mask():
     masked = mask_toxic("You absolute moron, the Idiot said.")
     assert "moron" not in masked and "Idiot" not in masked
     assert masked.count("[TOXIC]") == 2
+
+
+def test_top_bigram_repetition_dropped():
+    rep = "the cat " * 100  # one bigram dominates
+    s = _sig([rep])
+    assert not bool(s["keep"][0])
+    assert s["drop_reason"][0] in ("top_bigram_frac", "dup_line_frac")
+
+
+def test_duplicate_paragraphs_dropped():
+    para = "this is a perfectly ordinary paragraph about the quiet hills"
+    s = _sig([GOOD + ("\n\n" + para) * 8])
+    assert not bool(s["keep"][0])
+    assert s["drop_reason"][0] in ("dup_para_frac", "dup_line_frac")
