@@ -64,3 +64,21 @@ def test_host_boilerplate_strip(spark):
     # small host: insufficient evidence -> untouched
     small = out["https://small.example.com/p0"]
     assert footer in small.text_clean and small.n_lines_removed == 0
+
+
+def test_scrub_spans_table(spark):
+    from incident_pii_redactor_spark.operators.spans_table import scrub_spans
+
+    df = spark.createDataFrame(
+        [("u1", "Mail alice.j@corp1.com or call +1-555-123-4567. "
+                "Also see support@example.com.")],
+        "url string, text string")
+    spans = scrub_spans(df).collect()
+    by_type = {s.entity_type: s for s in spans}
+    assert by_type["email"].action == "REDACT"
+    assert by_type["email"].matched_text == "alice.j@corp1.com"
+    assert by_type["phone"].replacement == "[REDACTED_PHONE]"
+    assert "Mail" in by_type["email"].context
+    # offsets point into the original text
+    for s in spans:
+        assert df.collect()[0].text[s.start:s.end] == s.matched_text
