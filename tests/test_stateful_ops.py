@@ -82,3 +82,26 @@ def test_scrub_spans_table(spark):
     # offsets point into the original text
     for s in spans:
         assert df.collect()[0].text[s.start:s.end] == s.matched_text
+
+
+def test_pseudonym_consistency_cross_doc(spark):
+    """A10 cross-doc variant: same (entity_type, matched_text) must map to
+    exactly one replacement across ALL documents — groupBy + countDistinct
+    over the spans table."""
+    from pyspark.sql import functions as F
+
+    from incident_pii_redactor_spark.operators.spans_table import scrub_spans
+
+    df = spark.createDataFrame(
+        [("u1", "John Smith logged in from 10.0.0.7 yesterday."),
+         ("u2", "Later John Smith connected again via 10.0.0.7 and left."),
+         ("u3", "An unrelated Mary Jones used 10.9.9.9 all day today.")],
+        "url string, text string")
+    bad = (
+        scrub_spans(df)
+        .filter(F.col("action") != "RETAIN")
+        .groupBy("entity_type", "matched_text")
+        .agg(F.countDistinct("replacement").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert bad.count() == 0
