@@ -90,47 +90,81 @@ def _trigram_buckets(data: bytes) -> np.ndarray:
 
 
 def _build_profiles() -> np.ndarray:
-    """(n_langs, N_BUCKETS) float32 matrix of L2-normalized trigram counts."""
-    mat = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float32)
+    """(n_langs, N_BUCKETS + 1) float32 matrix of L2-normalized trigram
+    counts. The extra trailing column is an always-zero dummy bucket that
+    batch scoring routes cross-document straddle trigrams to (exact
+    exclusion without a mask multiply)."""
+    mat = np.zeros((len(LANGS), N_BUCKETS + 1), dtype=np.float32)
     for i, lang in enumerate(LANGS):
         buckets = _trigram_buckets(LANG_SEEDS[lang].lower().encode("utf-8"))
         counts = np.bincount(buckets, minlength=N_BUCKETS).astype(np.float32)
         norm = float(np.linalg.norm(counts)) or 1.0
-        mat[i] = counts / norm
+        mat[i, :N_BUCKETS] = counts / norm
     return mat
 
 
 _PROFILES = _build_profiles()  # built once per process; ~1.3 MB — broadcast-free
 
 
+# chars of text examined per doc — fastText-style linear classifiers
+# saturate within a few hundred bytes; capping bounds langid cost per doc
+# regardless of page size (KB-scale web pages would otherwise dominate)
+MAX_CHARS = 512
+
+
 def predict_language(texts: "list[str] | np.ndarray") -> tuple[np.ndarray, np.ndarray]:
     """Batch language ID. Returns (lang_pred: object array, confidence: float64).
 
     Confidence is the softmax of length-normalized profile dot products.
-    Empty/too-short docs predict "und" with confidence 0.
+    Empty/too-short docs predict "und" with confidence 0. Per-doc sums use
+    ``np.add.reduceat`` over the doc-contiguous trigram layout (no
+    byte-level doc-id materialization); trigrams straddling a document
+    boundary are routed to a zero-weight dummy bucket, so every doc's
+    score is EXACTLY a function of its own bytes — required for batch- and
+    partition-order invariance (pinned by a hypothesis property test).
     """
     n = len(texts)
-    encoded = [(t or "").lower().encode("utf-8") for t in texts]
-    lengths = np.array([max(len(e) - 2, 0) for e in encoded], dtype=np.int64)
+    encoded = [(t or "")[:MAX_CHARS].lower().encode("utf-8") for t in texts]
+    byte_lens = np.array([len(e) for e in encoded], dtype=np.int64)
+    lengths = np.maximum(byte_lens - 2, 0)
     buf = b"".join(encoded)
-    b = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
 
-    # doc id per byte position, then mask out trigrams that straddle docs
-    doc_of_byte = np.repeat(np.arange(n), [len(e) for e in encoded])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(byte_lens[:-1], out=starts[1:])
+
     if b.size >= 3:
-        codes = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
-        buckets = ((codes * _KNUTH) % np.uint64(N_BUCKETS)).astype(np.int64)
-        tri_doc = doc_of_byte[:-2]
-        valid = tri_doc == doc_of_byte[2:]  # all 3 bytes in same doc
-        buckets, tri_doc = buckets[valid], tri_doc[valid]
+        codes = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+        buckets = ((codes * 2654435761) % N_BUCKETS).astype(np.int32)
+        # exact straddle exclusion: a trigram at position p is valid iff
+        # bytes p..p+2 share a doc; the invalid positions are exactly
+        # {boundary-1, boundary-2} for every doc boundary
+        for off in (1, 2):
+            idx = starts[1:] - off
+            idx = idx[(idx >= 0) & (idx < buckets.size)]
+            buckets[idx] = N_BUCKETS  # dummy zero-weight bucket
     else:
-        buckets = np.empty(0, dtype=np.int64)
-        tri_doc = np.empty(0, dtype=np.int64)
+        buckets = np.empty(0, dtype=np.int32)
+
+    # sentinel dummy element so every start offset (including == size, for
+    # trailing empty docs) is a legal reduceat index WITHOUT clipping into
+    # a real doc's trigrams (clipping made the last doc's score depend on
+    # whether empty docs followed it — caught by the order-invariance
+    # property test)
+    n_tri = buckets.size
+    buckets_ext = np.append(buckets, np.int32(N_BUCKETS))
+    seg = np.minimum(starts, n_tri)
 
     scores = np.zeros((len(LANGS), n), dtype=np.float64)
-    for i in range(len(LANGS)):
-        w = _PROFILES[i][buckets]  # weight per trigram occurrence
-        scores[i] = np.bincount(tri_doc, weights=w, minlength=n)
+    if n_tri:
+        for i in range(len(LANGS)):
+            w = _PROFILES[i][buckets_ext]  # float32 gather; last elem is 0
+            sums = np.add.reduceat(w, seg).astype(np.float64)
+            # reduceat repeats the previous segment's value for empty
+            # segments (duplicate offsets) — zero those out
+            empty = lengths <= 0
+            sums[empty] = 0.0
+            scores[i] = sums
     denom = np.maximum(lengths, 1).astype(np.float64)
     scores /= denom  # length-normalize (uniform across langs; keeps softmax sane)
 
