@@ -330,6 +330,30 @@ def _emb_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+def _doc_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals, JVM-side (SQL-checkable subset of the
+    quality rules: duplicate-line fraction + distinct-word ratio)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    dup_line_frac = F.when(
+        F.size(lines) > 1,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    distinct_word_ratio = F.when(
+        F.size(words) > 0,
+        F.size(F.array_distinct(words)) / F.size(words),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(distinct_word_ratio, 6).alias("distinct_word_ratio"),
+    )
+
+
 def _doc_toxicity(spark, sf_dir):
     """Block-list toxicity ratio, JVM-side (functions mirror of
     quality.toxicity for SQL-expressible corpus scans)."""
@@ -406,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": _doc_minhash_pairs,
         "doc_simhash": _doc_simhash,
         "doc_redact_emails": _doc_redact_emails,
+        "doc_repetition_stats": _doc_repetition_stats,
         "doc_toxicity": _doc_toxicity,
         "emb_near_dup_pairs": _emb_near_dup_pairs,
         "emb_norms": _emb_norms,
@@ -623,6 +648,20 @@ def oracle_sql() -> dict[str, str]:
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                 '[REDACTED_EMAIL]', 'g') AS text_redacted
             FROM documents
+        """,
+        "doc_repetition_stats": f"""
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(lines) > 1 THEN
+                       1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                       ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN len(w) > 0 THEN
+                       CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                       ELSE 0.0 END, 6) AS distinct_word_ratio
+            FROM (SELECT doc_id,
+                    list_filter(list_transform(string_split(text, chr(10)),
+                        x -> trim(x)), x -> x <> '') AS lines,
+                    {_WORDS} AS w
+                  FROM documents)
         """,
         "doc_toxicity": _toxicity_oracle_sql(),
         "emb_near_dup_pairs": """
