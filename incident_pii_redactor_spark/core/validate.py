@@ -69,13 +69,15 @@ import re as _re
 _DIGIT_RE = _re.compile(r"\d")
 
 
-def residual_pii(processed: str) -> list[dict]:
+def residual_pii(processed: str, masked: str | None = None) -> list[dict]:
     """D9+D10: re-run core PII regexes on scrubbed text; each hit is a
-    CRITICAL issue (a redaction the pipeline missed)."""
+    CRITICAL issue (a redaction the pipeline missed). ``masked`` lets the
+    caller share one exclusion-masking pass with adversarial_scan."""
     has_digit = _DIGIT_RE.search(processed) is not None
     if "@" not in processed and not has_digit:
         return []  # every residual pattern requires '@' or a digit
-    masked = _mask_exclusions(processed)
+    if masked is None:
+        masked = _mask_exclusions(processed)
     issues: list[dict] = []
 
     def add(kind: str, m: re.Match, severity: str = "critical") -> None:
@@ -113,9 +115,10 @@ _ADVERSARIAL_GATES = {
 }
 
 
-def adversarial_scan(processed: str) -> list[dict]:
+def adversarial_scan(processed: str, masked: str | None = None) -> list[dict]:
     """D11: obfuscated-PII heuristics on scrubbed text (severity high)."""
-    masked = _mask_exclusions(processed)
+    if masked is None:
+        masked = _mask_exclusions(processed)
     issues: list[dict] = []
     for kind, pat in ADVERSARIAL_PATTERNS.items():
         gates = _ADVERSARIAL_GATES.get(kind)
@@ -212,9 +215,10 @@ def recommendations(metrics: dict, issues: list[dict]) -> list[str]:
 
 def validate(original: str, processed: str, n_decisions: int) -> tuple[list[dict], dict]:
     """Full validation pass: D9-D11 + A9 + A11 issues, then A5 metrics."""
+    masked = _mask_exclusions(processed)
     issues = (
-        residual_pii(processed)
-        + adversarial_scan(processed)
+        residual_pii(processed, masked)
+        + adversarial_scan(processed, masked)
         + replacement_frequency_issues(processed)
         + schema_integrity_issues(original, processed)
     )

@@ -1,0 +1,85 @@
+"""Corpus dedup job: exact and/or MinHash near-dup removal over a pages
+table — the upstream stage of a training-data pipeline (runs BEFORE
+jobs/scrub.py; its output is the scrub job's input).
+
+    spark-submit --py-files engine.zip jobs/dedup.py \
+        --input /data/pages --output /data/pages_dedup --mode both
+
+Scale design:
+* exact: one hash-aggregate on md5(normalized text) — the shuffle carries
+  (32-hex, url) pairs, never document text; keeper = min(url).
+* near: MinHash signatures (single-pass expression) -> banded LSH
+  self-join -> candidate pairs -> per-pair min-url-wins drop set. The
+  drop set is tiny relative to the corpus (it is the duplicates), so the
+  final filter is a broadcast LEFT ANTI join — the corpus never shuffles.
+* min-url-wins per pair is one union-by-min step, not full connected
+  components: for a chain A-B-C it keeps A and drops B and C, which is
+  the standard first-order near-dup policy (full CC costs an iterative
+  join; at 10^12 docs the chain-length distribution makes one step
+  capture ~all mass).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+from incident_pii_redactor_spark.functions.dedup import (
+    content_hash,
+    minhash_lsh_pairs,
+)
+from incident_pii_redactor_spark.plans import build_session
+from incident_pii_redactor_spark.sources.catalog import read_pages
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", choices=("exact", "near", "both"), default="both")
+    p.add_argument("--shingle-words", type=int, default=3)
+    p.add_argument("--n-perm", type=int, default=8)
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def run(args, spark=None) -> dict:
+    owns = spark is None
+    if owns:
+        spark = build_session("pages-dedup", master=args.master)
+    try:
+        df = read_pages(spark, args.input)
+        stats = {"rows_in": df.count()}
+
+        if args.mode in ("exact", "both"):
+            keepers = (
+                df.select("url", content_hash("text").alias("_h"))
+                .groupBy("_h")
+                .agg(F.min("url").alias("url"))
+                .select("url")
+            )
+            df = df.join(keepers, on="url", how="left_semi")
+            stats["rows_after_exact"] = df.count()
+
+        if args.mode in ("near", "both"):
+            pairs = minhash_lsh_pairs(
+                df, id_col="url", text_col="text",
+                n=args.shingle_words, n_perm=args.n_perm, bands=args.bands,
+            )
+            # min-url-wins: the larger url of every candidate pair drops
+            drops = pairs.select(F.col("id_b").alias("url")).distinct()
+            df = df.join(F.broadcast(drops), on="url", how="left_anti")
+            stats["rows_after_near"] = df.count()
+
+        df.write.mode("overwrite").parquet(args.output)
+        stats["rows_out"] = spark.read.parquet(args.output).count()
+        return stats
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    print(run(parse_args()))

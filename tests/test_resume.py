@@ -77,3 +77,42 @@ def test_manifest_lineage_counters(spark, pages_parquet, tmp_path_factory):
         for k, v in (d_ or {}).items():
             reds[k] = reds.get(k, 0) + v
     assert reds.get("email", 0) > 100  # every kept pii doc has 2 emails
+
+
+def test_dedup_job_end_to_end(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+    import pandas as pd
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("dedup")
+    ts = dt.datetime(2025, 1, 1)
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the field while the sun rises slowly over the quiet hills")
+    rows = [
+        ("https://a/1", ts, b"", base, "en"),
+        ("https://a/2", ts, b"", base, "en"),                     # exact dup
+        ("https://a/3", ts, b"", base.replace("quiet", "green"), "en"),  # near dup
+        ("https://a/4", ts, b"", "utterly different content about parquet "
+                                 "files shuffles and broadcast joins today", "en"),
+    ]
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, str(d / "pages.parquet"))
+
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"), "--output", str(d / "out"),
+         "--mode", "both"]), spark=spark)
+    assert stats["rows_in"] == 4
+    assert stats["rows_after_exact"] == 3   # exact dup gone
+    urls = {r.url for r in spark.read.parquet(str(d / "out")).collect()}
+    assert "https://a/1" in urls and "https://a/4" in urls
+    assert "https://a/2" not in urls        # exact dup dropped
+    assert "https://a/3" not in urls        # near dup dropped (min-url wins)
