@@ -172,12 +172,16 @@ def _user_sessions(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # interval arithmetic keeps exact microsecond precision on both engines
+    # (unix_timestamp() truncates to whole seconds and would disagree with
+    # DuckDB's fractional epoch() for gaps inside [1800s, 1801s))
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_break = gap > F.expr("INTERVAL 30 MINUTES")
     return (
-        e.withColumn("gap", gap)
+        e.withColumn("brk", is_break)
         .groupBy("user_id")
         .agg(
-            F.sum(F.when(F.col("gap") > 1800, 1).otherwise(0)).alias("n_breaks"),
+            F.sum(F.when(F.col("brk"), 1).otherwise(0)).alias("n_breaks"),
             F.count("*").alias("n_events"),
         )
     )
@@ -568,10 +572,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_sessions": """
             SELECT user_id,
-                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_breaks,
+                   SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                       AS n_breaks,
                    COUNT(*) AS n_events
-            FROM (SELECT user_id, epoch(ts) - epoch(lag(ts) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM (SELECT user_id, ts - lag(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
                   FROM events)
             GROUP BY user_id
         """,
