@@ -1,0 +1,113 @@
+"""Scale-machinery tests: bucketed exchange-free joins, salted holistic
+aggregation correctness, streaming checkpoint recovery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    from incident_pii_redactor_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    # uses the session's default warehouse (spark-warehouse/, gitignored);
+    # also clear stale dirs from interrupted runs (the in-memory catalog
+    # forgets tables across sessions but leaves their directories)
+    import shutil
+
+    for t in ("t_scores", "t_labels"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    a = spark.range(500).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        (F.col("id") * 2).alias("score"),
+    )
+    b = spark.range(500).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("label"),
+    )
+    write_bucketed(a, "t_scores", n_buckets=4)
+    write_bucketed(b, "t_labels", n_buckets=4)
+    # force a sort-merge join: at real scale neither side broadcasts, and
+    # SMJ-on-bucketed-tables is precisely the shuffle-free case to prove
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_scores", "t_labels")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle: bucketed
+        assert "Bucketed: true" in plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_host_agg_matches_naive(spark):
+    from incident_pii_redactor_spark.operators.salting import salted_host_agg
+
+    df = spark.range(2000).select(
+        F.concat(
+            F.lit("https://host"), (F.col("id") % 3).cast("string"),
+            F.lit(".com/p"), F.col("id"),
+        ).alias("url"),
+        (F.col("id") % 11).cast("double").alias("v"),
+    )
+    salted = {
+        r.host: (r.v, r.n)
+        for r in salted_host_agg(
+            df.withColumn("n", F.lit(1)), "url",
+            [("v", "sum"), ("n", "count")], n_salts=8,
+        ).collect()
+    }
+    naive = {
+        r.host: (r.v, r.n)
+        for r in df.groupBy(
+            F.parse_url("url", F.lit("HOST")).alias("host")
+        ).agg(F.sum("v").alias("v"), F.count("*").alias("n")).collect()
+    }
+    assert salted == naive
+
+
+def test_streaming_checkpoint_recovery(spark, tmp_path_factory):
+    """Stop after batch 1, restart from the same checkpoint: every input
+    row lands exactly once."""
+    from incident_pii_redactor_spark.sources.pages import write_pages_parquet
+    from incident_pii_redactor_spark.streaming.scrub_stream import (
+        read_pages_stream,
+        scrub_stream,
+    )
+
+    d = tmp_path_factory.mktemp("ckpt_in")
+    out = tmp_path_factory.mktemp("ckpt_out")
+    write_pages_parquet(str(d / "f1.parquet"), 100, seed=3)
+    write_pages_parquet(str(d / "f2.parquet"), 100, seed=4)
+
+    def start():
+        return (
+            scrub_stream(read_pages_stream(spark, str(d), max_files_per_trigger=1))
+            .writeStream.format("parquet")
+            .option("path", str(out / "data"))
+            .option("checkpointLocation", str(out / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # stop mid-stream after the first file commits
+    import time
+
+    while not q.recentProgress:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    # restart from checkpoint; availableNow drains the rest
+    q2 = start()
+    q2.awaitTermination(180)
+    got = spark.read.parquet(str(out / "data"))
+    assert got.count() == 200  # reads via the sink's _spark_metadata commit log
+    # exactly-once: a replayed batch would produce full-row duplicates
+    # (urls can legitimately collide across the two seeded fixture files,
+    # so fingerprint rows by url + content-derived signals)
+    assert got.select("url", "ppl", "word_count").distinct().count() == 200
