@@ -21,7 +21,7 @@ Semantics replicated (and where we consciously diverge):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace as _dc_replace
+from dataclasses import dataclass, field
 
 # Actions — reference enum RedactionAction (src/policies/policy_manager.py:21-25)
 REDACT = "REDACT"
@@ -57,7 +57,14 @@ class Span:
         return self.start < other.end and other.start < self.end
 
     def copy(self, **kw) -> "Span":
-        return _dc_replace(self, **kw)
+        # manual field copy — dataclasses.replace() validates per call and
+        # showed up as ~10% of the PII-doc scrub profile
+        s = Span(self.start, self.end, self.entity_type, self.confidence,
+                 self.text, self.source, self.action, self.replacement,
+                 self.method)
+        for k, v in kw.items():
+            setattr(s, k, v)
+        return s
 
 
 def resolve_overlaps(spans: list[Span]) -> list[Span]:
