@@ -33,9 +33,7 @@ from __future__ import annotations
 import re
 
 from incident_pii_redactor_spark.core.spans import (
-    PSEUDONYMIZE,
     REDACT,
-    RETAIN,
     SRC_DETERMINISTIC,
     SRC_FINDER,
     Span,

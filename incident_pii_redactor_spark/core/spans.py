@@ -21,7 +21,7 @@ Semantics replicated (and where we consciously diverge):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Actions — reference enum RedactionAction (src/policies/policy_manager.py:21-25)
 REDACT = "REDACT"

@@ -13,7 +13,7 @@ operator (`operators/quality_filter.py`) and the test oracle alike.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

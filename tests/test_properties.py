@@ -11,7 +11,6 @@ from incident_pii_redactor_spark.core.detectors import detect_pii, luhn_valid
 from incident_pii_redactor_spark.core.pipeline import scrub_document
 from incident_pii_redactor_spark.core.spans import (
     REDACT,
-    RETAIN,
     Span,
     resolve_overlaps,
     splice,

@@ -2,8 +2,6 @@
 rerun, output must be byte-identical to a cold full run with no
 re-scrubbing of manifested buckets."""
 
-import os
-
 import pandas as pd
 import pytest
 

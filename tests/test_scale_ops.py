@@ -1,7 +1,6 @@
 """Scale-machinery tests: bucketed exchange-free joins, salted holistic
 aggregation correctness, streaming checkpoint recovery."""
 
-import pytest
 from pyspark.sql import functions as F
 
 

@@ -1,8 +1,6 @@
 """Custom stateful/grouped operators: streaming exact dedup
 (applyInPandasWithState) and host boilerplate strip (applyInPandas)."""
 
-import pytest
-
 from incident_pii_redactor_spark.operators.boilerplate import host_boilerplate_strip
 from incident_pii_redactor_spark.streaming.dedup_stream import streaming_exact_dedup
 from incident_pii_redactor_spark.streaming.scrub_stream import read_pages_stream

@@ -1,8 +1,6 @@
 """Structured Streaming wrapper: the same scrub operator over a file
 stream, with watermarked windowed metrics (SURVEY.md §2.8 streaming row)."""
 
-import os
-
 import pytest
 
 from incident_pii_redactor_spark.sources.pages import write_pages_parquet
