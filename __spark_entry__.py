@@ -187,6 +187,69 @@ def _user_sessions(spark, sf_dir):
     )
 
 
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single aggregate (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+def _q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        # null-when-not-promo: SUM skips nulls identically in both engines
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_revenue"),
+        F.sum(rev).alias("total_revenue"),
+    )
+
+
+def _q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped join, then top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def _late_shipments_by_priority(spark, sf_dir):
+    """Q12 shape: CASE-bucketed counts over a join (ship lag > 90 days)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+            F.count("*").alias("total_lines"),
+        )
+    )
+
+
 def _custkeys_intersect(spark, sf_dir):
     """Set op: customers that are also order placers (INTERSECT)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
@@ -416,6 +479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_revenue": _q5_nation_revenue,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q14_promo_share": _q14_promo_share,
+        "q18_large_orders": _q18_large_orders,
+        "late_shipments_by_priority": _late_shipments_by_priority,
         "top_orders_per_customer": _top_orders_per_customer,
         "orders_rollup": _orders_rollup,
         "customers_without_orders": _customers_without_orders,
@@ -540,6 +607,39 @@ def oracle_sql() -> dict[str, str]:
                  JOIN nation ON s_nationkey = n_nationkey
                  JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "q6_forecast_revenue": """
+            SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_share": f"""
+            SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {rev} END)
+                       AS promo_revenue,
+                   SUM({rev}) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+            FROM (SELECT l_orderkey,
+                         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
+        """,
+        "late_shipments_by_priority": """
+            SELECT o_orderpriority,
+                   SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END) AS late_lines,
+                   COUNT(*) AS total_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, rnk,
