@@ -38,12 +38,13 @@ HEADLINE = (
 )
 
 
-def pages_path(n_shards: int = 32) -> str:
+def pages_path(n_shards: int = 32, size_mult: int = 1, rows: int | None = None) -> str:
     """Corpus as n_shards parquet files: scan parallelism comes from the
     source layout (as it would from HDFS/S3 file splits at real scale),
     not from a repartition shuffle."""
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"pages_{PAGES_N}_sharded")
+    rows = rows or PAGES_N
+    path = os.path.join(CACHE, f"pages_{rows}_m{size_mult}_sharded")
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -52,7 +53,7 @@ def pages_path(n_shards: int = 32) -> str:
 
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        pdf = synth_pages(PAGES_N)
+        pdf = synth_pages(rows, size_mult=size_mult)
         schema = pa.schema(
             [
                 ("url", pa.string()),
@@ -62,7 +63,7 @@ def pages_path(n_shards: int = 32) -> str:
                 ("lang", pa.string()),
             ]
         )
-        per = (PAGES_N + n_shards - 1) // n_shards
+        per = (rows + n_shards - 1) // n_shards
         for i in range(n_shards):
             shard = pdf.iloc[i * per: (i + 1) * per]
             pq.write_table(
@@ -79,6 +80,8 @@ def main() -> None:
     from incident_pii_redactor_spark.plans import build_session
 
     ppath = pages_path()
+    large_rows = max(PAGES_N // 10, 1000)
+    lpath = pages_path(size_mult=6, rows=large_rows)  # ~4 KB/doc (CC-realistic)
     spark = build_session("bench", master=f"local[{CPUS}]",
                           shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
@@ -108,6 +111,18 @@ def main() -> None:
         scrub_sec = min(scrub_sec, round(time.time() - t0, 3))
     timings["scrub_pages_200k"] = scrub_sec
 
+    # realistic-page-size corpus: report byte throughput too (the unit that
+    # matters at 100 TB); 1/10th the rows at ~6x the bytes per row
+    large = spark.read.parquet(lpath)
+    n_large = large.count()
+    large_bytes = large.selectExpr("sum(length(text))").head()[0]
+    large_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        quality_scrub(large).count()
+        large_sec = min(large_sec, round(time.time() - t0, 3))
+    timings["scrub_pages_4kb"] = large_sec
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +134,8 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "scrub_docs_per_sec": round(n_rows / scrub_sec, 1),
                 "scrub_rows": n_rows,
+                "scrub_4kb_docs_per_sec": round(n_large / large_sec, 1),
+                "scrub_4kb_mb_per_sec": round(large_bytes / 1e6 / large_sec, 1),
                 "cpus": CPUS,
             }
         )

@@ -142,13 +142,18 @@ def _make_text(rng: random.Random, cls: str) -> tuple[str, str]:
     raise ValueError(cls)
 
 
-def synth_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
-    """Generate n_rows deterministic pages. Column order per input_hint."""
+def synth_pages(n_rows: int, seed: int = 42, size_mult: int = 1) -> pd.DataFrame:
+    """Generate n_rows deterministic pages. Column order per input_hint.
+    ``size_mult`` scales per-doc word counts (1 -> ~730 B/doc; 6 -> ~4 KB,
+    the realistic Common-Crawl page size) without changing class mix."""
     rows = []
     for i in range(n_rows):
         rng = random.Random((seed << 32) | i)
         cls = _CLASS_TAGS[rng.randrange(len(_CLASS_TAGS))]
         text, true_lang = _make_text(rng, cls)
+        if size_mult > 1 and cls not in ("short",):
+            extra = _prose(rng, true_lang, (size_mult - 1) * len(text.split()))
+            text = text + "\n" + extra
         host = HOSTS[int(np.searchsorted(_HOST_CDF, rng.random()))]
         url = f"https://{host}/{cls}/{i}"
         # ~10% deliberately wrong lang tag (langid must override)
