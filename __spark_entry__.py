@@ -558,12 +558,13 @@ def _minhash_oracle_sql(n_perm: int, mode: str) -> str:
                 list_transform(s, v -> CAST(v AS VARCHAR)), '|') AS sig
             FROM sig
         """
-    return base + """
+    return base + f"""
         , banded AS (
             SELECT doc_id, b AS band_id, array_to_string(
                 list_transform(s[b*2+1:b*2+2], v -> CAST(v AS VARCHAR)), '|')
                 AS band_key
             FROM sig, (SELECT unnest(range(0, 4)) AS b)
+            WHERE s[1] <> {_MH_P}  -- unshingleable docs never enter LSH
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b

@@ -52,7 +52,15 @@ FORCE_REDACT = frozenset(
     {"email", "phone", "credit_card", "ssn", "api_key", "secret_value"}
 )
 DEFAULT_PSEUDONYMIZE = frozenset(
-    {"person_name", "hostname", "ip_address", "customer_data_refs"}
+    {
+        "person_name", "hostname", "ip_address", "customer_data_refs",
+        # infra identifiers (D3): the pseudonym shapes REF-{h}/#channel-{h}
+        # and the validator's exclusion list always intended these to be
+        # pseudonymized; without this entry the C9 judge fallback's RETAIN
+        # vote (weight 3) silently won and they leaked verbatim
+        "jira_ticket", "slack_channel", "kubernetes_pod", "docker_image",
+        "internal_url", "aws_arn",
+    }
 )
 
 # R3 — redaction token table (reference arbitration_engine.py:174-183)

@@ -50,7 +50,10 @@ from incident_pii_redactor_spark.core.spans import (
 EMAIL_RE_STR = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 EMAIL_RE = re.compile(EMAIL_RE_STR)
 
-# +1-555-123-4567 | (555) 123-4567 | 555.123.4567 | 5551234567 (10-11 digits)
+# +1-555-123-4567 | (555) 123-4567 | 555.123.4567 — separator-FORMATTED
+# numbers only, by design: a bare \d{10} branch would redact every 10-digit
+# epoch timestamp and order id in log-flavored text (worse than missing
+# unformatted phones, which even the reference's regex path does not catch)
 PHONE_RE_STR = r"(?:\+?1[-. ])?(?:\(\d{3}\)\s?|\d{3}[-. ])\d{3}[-. ]\d{4}\b"
 PHONE_RE = re.compile(PHONE_RE_STR)
 
@@ -180,6 +183,9 @@ def detect_pii(text: str) -> list[Span]:
                 spans.append(
                     Span(m.start(), m.end(), "ip_address", 0.95, m.group())
                 )
+    # NOT digit-gated: letter-only keys ('sk_abcdef...') are valid matches.
+    # Exact gate = the literal prefixes the regex requires.
+    if any(p in text for p in ("sk", "pk", "ak", "ghp", "xox", "AKIA")):
         for m in API_KEY_RE.finditer(text):
             spans.append(Span(m.start(), m.end(), "api_key", 0.95, m.group()))
     if any(t in text for t in _HOST_TLDS):
@@ -204,7 +210,8 @@ def detect_pii(text: str) -> list[Span]:
 
 CUSTOM_PATTERNS: dict[str, re.Pattern] = {
     "internal_url": re.compile(
-        r"https?://[a-z0-9.-]*\.(?:internal|corp|local)(?::\d+)?(?:/\S*)?"
+        # \b so '.corp1.com' (public) is not clipped into a '.corp' match
+        r"https?://[a-z0-9.-]*\.(?:internal|corp|local)\b(?::\d+)?(?:/\S*)?"
     ),
     "jira_ticket": re.compile(r"\b[A-Z]{2,10}-\d{1,6}\b"),
     "aws_arn": re.compile(r"\barn:aws:[a-z0-9-]+:[a-z0-9-]*:\d{12}:\S+"),

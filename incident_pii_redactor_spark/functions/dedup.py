@@ -145,6 +145,12 @@ def minhash_lsh_pairs(
     rows_per_band = n_perm // bands
     sig = df.select(F.col(id_col).alias("_id"),
                     minhash_signature(text_col, n, n_perm).alias("_sig"))
+    # docs too short to shingle keep the sentinel signature [P]*n_perm —
+    # without this filter every such doc collides with every other in all
+    # bands (an O(k^2) bucket AND mass false near-dups: a dedup job would
+    # delete k-1 unrelated short docs). Shingle-based similarity is simply
+    # undefined for them; they never enter LSH.
+    sig = sig.filter(F.element_at("_sig", 1) != F.lit(_MH_P).cast("long"))
     # Materialization barrier: without it Catalyst's CollapseProject inlines
     # the (expensive) signature expression into every band-key expression on
     # BOTH join sides — ~2*bands x redundant MinHash computation (measured

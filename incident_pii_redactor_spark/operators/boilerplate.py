@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,7 +58,10 @@ def host_boilerplate_strip(
             for line in set(ln.strip() for ln in (text or "").split("\n")):
                 if line:
                     line_docfreq[line] = line_docfreq.get(line, 0) + 1
-        threshold = max(min_pages, int(len(sample) * min_frac))
+        # ceil(n * min_frac), floor 2: '>= min_frac of the host's pages'
+        # exactly as documented (a max(min_pages, ...) floor would silently
+        # require a stricter fraction for hosts near min_pages)
+        threshold = max(2, int(math.ceil(len(sample) * min_frac)))
         boiler = {ln for ln, c in line_docfreq.items() if c >= threshold}
         # strip pass (full group)
         cleaned, removed = [], []

@@ -53,10 +53,17 @@ def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:  # first run: no manifest yet
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    except AnalysisException as e:
+        # ONLY a missing path means "first run". Any other failure
+        # (corrupt footer, permissions, storage blip) must raise: treating
+        # it as first-run would silently re-append every completed bucket.
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        raise
 
 
 def completed_buckets(manifest: DataFrame, run_id: str | None = None) -> list[int]:

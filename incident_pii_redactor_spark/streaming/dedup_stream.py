@@ -38,12 +38,22 @@ def _emit_first(
         state.remove()
         return
     already = state.exists and state.get[0]
-    first_unseen = not already
-    for pdf in pdfs:
-        if first_unseen and len(pdf):
-            # deterministic representative: smallest url wins within batch
-            yield pdf.sort_values("url").head(1).drop(columns=["_fp"])
-            first_unseen = False
+    if not already:
+        # deterministic representative: smallest url across ALL Arrow
+        # chunks of the group (large groups arrive as multiple chunks in
+        # shuffle-dependent order — taking head(1) of the first chunk
+        # would make the survivor partition-order-dependent)
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf.sort_values("url").head(1)
+                if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
+                    best = cand
+        if best is not None:
+            yield best.drop(columns=["_fp"])
+    else:
+        for _ in pdfs:  # drain the iterator; nothing to emit
+            pass
     state.update((True,))
     state.setTimeoutDuration(24 * 3600 * 1000)  # 24h TTL
 

@@ -74,6 +74,7 @@ def run(args, spark=None) -> dict:
             stats["rows_after_near"] = df.count()
 
         df.write.mode("overwrite").parquet(args.output)
+        spark.catalog.clearCache()  # release the LSH signature persist
         stats["rows_out"] = spark.read.parquet(args.output).count()
         return stats
     finally:

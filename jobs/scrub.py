@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from incident_pii_redactor_spark.operators.resume import (
     BUCKET_COL,
+    completed_buckets,
     manifest_rows_from_output,
     pending,
     read_manifest,
@@ -75,11 +76,7 @@ def run(args, spark=None) -> dict:
         manifest = read_manifest(spark, args.manifest)
         todo = pending(df, manifest, args.run_id)
 
-        done = {
-            r[0]
-            for r in manifest.filter(F.col("run_id") == args.run_id)
-            .select("partition_id").distinct().collect()
-        }
+        done = set(completed_buckets(manifest, args.run_id))
         remaining = sorted(set(range(args.n_buckets)) - done)
         groups = [
             remaining[i: i + args.bucket_group_size]
@@ -97,7 +94,13 @@ def run(args, spark=None) -> dict:
             )
             out = out.persist()
             n = out.count()
-            out.write.mode("append").partitionBy(BUCKET_COL).parquet(args.output)
+            # dynamic partition OVERWRITE (not append): re-running a group
+            # after a crash-between-output-and-manifest replaces the same
+            # bucket partitions instead of duplicating them — the write is
+            # idempotent per bucket, which is what makes resume exact
+            out.write.mode("overwrite").partitionBy(BUCKET_COL) \
+                .option("partitionOverwriteMode", "dynamic") \
+                .parquet(args.output)
             manifest_rows_from_output(out, args.run_id, args.completed_ts) \
                 .write.mode("append").parquet(args.manifest)
             out.unpersist()

@@ -100,3 +100,24 @@ def test_line_structure_preserved():
     t = "line one with bob@x.io\nline two\nline three 555-123-4567 end"
     out = scrub_document(t).text_scrubbed
     assert out.count("\n") == t.count("\n")
+
+
+def test_letter_only_api_key_detected():
+    # regression: the digit gate used to swallow letter-only keys
+    out = scrub_document("the leaked key is sk_abcdefghijklmnopqrstuv ok").text_scrubbed
+    assert "sk_abcdefghijklmnopqrstuv" not in out
+    assert "[REDACTED_KEY]" in out
+
+
+def test_infra_identifiers_pseudonymized():
+    # regression: judge-fallback RETAIN used to outvote the D3 defaults
+    t = "Tracked in PROJ-4242, discussed in #incident-sev1 channel."
+    out = scrub_document(t).text_scrubbed
+    assert "PROJ-4242" not in out and "REF-" in out
+    assert "#incident-sev1" not in out and "#channel-" in out
+
+
+def test_public_corp1_domain_not_clipped_as_internal_url():
+    t = "See https://wiki.corp1.com/page for details."
+    out = scrub_document(t).text_scrubbed
+    assert "https://wiki.corp1.com/page" in out

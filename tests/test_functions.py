@@ -211,3 +211,13 @@ def test_ivf_ann_recall_on_clusters(spark):
     approx = {r.vec_id for r in ivf_ann_topk(df, q, k=10, n_list=8,
                                              n_probe=3).collect()}
     assert len(exact & approx) / 10 >= 0.8
+
+
+def test_minhash_short_docs_never_pair(spark):
+    # regression: sentinel signatures used to collide all short docs
+    from incident_pii_redactor_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(i, w) for i, w in enumerate(["hi", "yo there", "ok", "x y",
+                                          "solo", "two words"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_lsh_pairs(df).count() == 0

@@ -114,3 +114,32 @@ def test_dedup_job_end_to_end(spark, tmp_path_factory):
     assert "https://a/1" in urls and "https://a/4" in urls
     assert "https://a/2" not in urls        # exact dup dropped
     assert "https://a/3" not in urls        # near dup dropped (min-url wins)
+
+
+def test_crash_between_write_and_manifest_is_idempotent(spark, pages_parquet,
+                                                        tmp_path_factory):
+    """Simulate the worst crash window: output for a bucket group was
+    written but its manifest rows were not. The rerun must OVERWRITE those
+    bucket partitions (dynamic partition overwrite), not duplicate them."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path_factory.mktemp("crashwin")
+    base = ["--input", pages_parquet, "--output", str(d / "out"),
+            "--manifest", str(d / "mf"), "--n-buckets", "4",
+            "--bucket-group-size", "2"]
+    run(parse_args(base), spark=spark)
+    full = _read_all(spark, str(d / "out"))
+
+    # drop the manifest rows of the second group -> looks like the crash
+    mf = spark.read.parquet(str(d / "mf")).toPandas()
+    surviving = mf[mf.partition_id < 2]
+    import shutil
+    shutil.rmtree(str(d / "mf"))
+    spark.createDataFrame(surviving).write.parquet(str(d / "mf"))
+
+    stats = run(parse_args(base), spark=spark)
+    assert stats["groups_run"] == 1  # only the unmanifested group re-ran
+    again = _read_all(spark, str(d / "out"))
+    assert len(again) == len(full)  # no duplicated rows
+    import pandas as pd
+    pd.testing.assert_frame_equal(again, full)
