@@ -109,13 +109,13 @@ def main() -> None:
         t0 = time.time()
         n_rows = quality_scrub(pages).count()
         scrub_sec = min(scrub_sec, round(time.time() - t0, 3))
-    timings["scrub_pages_200k"] = scrub_sec
+    timings[f"scrub_pages_{PAGES_N // 1000}k"] = scrub_sec
 
     # realistic-page-size corpus: report byte throughput too (the unit that
     # matters at 100 TB); 1/10th the rows at ~6x the bytes per row
     large = spark.read.parquet(lpath)
     n_large = large.count()
-    large_bytes = large.selectExpr("sum(length(text))").head()[0]
+    large_bytes = large.selectExpr("sum(octet_length(text))").head()[0]
     large_sec = float("inf")
     for _ in range(2):
         t0 = time.time()

@@ -94,11 +94,15 @@ def test_streaming_checkpoint_recovery(spark, tmp_path_factory):
         )
 
     q = start()
-    # stop mid-stream after the first file commits
+    # stop mid-stream after the first file commits (bounded poll: a broken
+    # stream must fail the test, not hang the suite)
     import time
 
+    deadline = time.time() + 120
     while not q.recentProgress:
-        time.sleep(0.5)
+        assert q.exception() is None, q.exception()
+        assert time.time() < deadline, "stream produced no progress in 120s"
+        time.sleep(0.2)
     q.stop()
     q.awaitTermination(60)
     # restart from checkpoint; availableNow drains the rest

@@ -3,11 +3,11 @@ efficiency >= 0.8 between N and 4N executors).
 
 No real cluster exists in this sandbox, so per BASELINE.md the same
 scrub job runs at local[8] (N) and local[32] (4N) on IDENTICAL input —
-the sharded 200k-page corpus — in fresh JVMs (subprocesses), measuring
+the sharded page corpus (--rows, default 100k) — in fresh JVMs (subprocesses), measuring
 steady-state throughput (one warm-up pass per JVM, then the timed
 passes). Writes BENCH/BASELINE.md and prints a JSON summary.
 
-Usage: python tools/bench_scaling.py [--rows 200000] [--passes 2]
+Usage: python tools/bench_scaling.py [--rows 100000] [--passes 2]
 """
 
 from __future__ import annotations

@@ -17,7 +17,7 @@ import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -41,12 +41,14 @@ def _norm(v):
     return str(v)
 
 
+def row_keys(rows, colnames) -> list:
+    # case-INSENSITIVE column alignment, matching the schema compare
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i].lower())
+    return sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+
+
 def value_hash(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x01".join(_norm(r[i]) for i in order) for r in rows
-    )
-    return hashlib.md5("\n".join(lines).encode("utf-8")).hexdigest()
+    return hashlib.md5("\n".join(row_keys(rows, colnames)).encode("utf-8")).hexdigest()
 
 
 def main(sf_dir: str, only: list[str]) -> int:
@@ -62,6 +64,10 @@ def main(sf_dir: str, only: list[str]) -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = [q for q in only if q not in qs]
+    if unknown:
+        print(f"ERROR: unknown queries {unknown}; known: {sorted(qs)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -98,20 +104,8 @@ def main(sf_dir: str, only: list[str]) -> int:
             if sh != oh:
                 problems.append("value-hash mismatch")
                 # show first differing row for debugging
-                skey = sorted(
-                    "\x01".join(
-                        _norm(t[i])
-                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
-                    )
-                    for t in [tuple(r) for r in srows]
-                )
-                okey = sorted(
-                    "\x01".join(
-                        _norm(t[i])
-                        for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
-                    )
-                    for t in orows
-                )
+                skey = row_keys([tuple(r) for r in srows], scols)
+                okey = row_keys(orows, ocols)
                 for a, b in zip(skey, okey):
                     if a != b:
                         print(f"  spark:  {a[:200]}")
@@ -127,7 +121,9 @@ def main(sf_dir: str, only: list[str]) -> int:
 
 
 if __name__ == "__main__":
+    import os
+
     args = sys.argv[1:]
-    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
-    only = [a for a in args if "/" not in a]
+    sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    only = [a for a in args if not os.path.isdir(a)]
     sys.exit(1 if main(sf, only) else 0)

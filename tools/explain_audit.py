@@ -10,7 +10,26 @@ from __future__ import annotations
 import re
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def _count_struct_cols(s: str) -> int:
+    """Count TOP-LEVEL fields of a struct<...> string (nested <>/() types
+    contain commas and '>' that a flat regex miscounts)."""
+    depth = 0
+    cols = 0
+    for ch in s[len("struct<"):]:
+        if ch in "<(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ">":
+            if depth == 0:
+                return cols + 1
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols += 1
+    return cols + 1
 
 
 def audit(sf_dir: str) -> None:
@@ -34,9 +53,8 @@ def audit(sf_dir: str) -> None:
         bnl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
         wscg = len(re.findall(r"WholeStageCodegen", plan))
         scans = []
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-            cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
-            scans.append(len(cols))
+        for m in re.finditer(r"ReadSchema: (struct<.*)", plan):
+            scans.append(_count_struct_cols(m.group(1)))
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         print(f"{name:28s} {exch:4d} {bhj:3d} {smj:3d} {bnl:3d} {wscg:4d}  "
               f"scans={scans} pushed={pushed}")
