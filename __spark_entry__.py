@@ -138,6 +138,18 @@ def _orders_rollup(spark, sf_dir):
     )
 
 
+def _orders_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(F.col("o_totalprice").cast("double")), 6)
+            .alias("avg_price"),
+        )
+    )
+
+
 def _customers_without_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -485,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipments_by_priority": _late_shipments_by_priority,
         "top_orders_per_customer": _top_orders_per_customer,
         "orders_rollup": _orders_rollup,
+        "orders_cube": _orders_cube,
         "customers_without_orders": _customers_without_orders,
         "big_spender_customers": _big_spender_customers,
         "events_hourly": _events_hourly,
@@ -655,6 +668,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(AVG(CAST(o_totalprice AS DOUBLE)), 6) AS avg_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
