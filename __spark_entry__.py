@@ -525,7 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 _DEC = "CAST({} AS DECIMAL(18,2))"
 
 
@@ -739,7 +739,7 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3)
                   / len({_WORDS}) ELSE 0.0 END AS sym,
                 CASE WHEN len({_WORDS}) > 0 THEN
-                  CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                  CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
                     w -> w IN ('the','be','to','of','and','a','in','that','have','i','it','for','not','on','with','he','as','you','do','at','this','but','his','by','from','they','we','say','her','she','or')))
                     AS DOUBLE) / len({_WORDS}) ELSE 0.0 END AS stp
               FROM documents)

@@ -142,6 +142,11 @@ def minhash_lsh_pairs(
     never a cross join."""
     from pyspark.storagelevel import StorageLevel
 
+    if n_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_perm ({n_perm}) — trailing "
+            "minhashes would silently be ignored"
+        )
     rows_per_band = n_perm // bands
     sig = df.select(F.col(id_col).alias("_id"),
                     minhash_signature(text_col, n, n_perm).alias("_sig"))

@@ -41,9 +41,13 @@ def _decode_image_stub(blob: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, fmt
 
 
+def _col_type(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()
+
+
 def decode_image_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """binary -> typed metadata via one mapInPandas stage."""
-    schema = f"{id_col} {dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]}, {IMAGE_META_SCHEMA}"
+    schema = f"{id_col} {_col_type(df, id_col)}, {IMAGE_META_SCHEMA}"
     pruned = df.select(id_col, blob_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,7 +88,7 @@ def frame_sample(df: DataFrame, id_col: str, blob_col: str,
     STUB: frame boundaries derived deterministically from the blob hash
     (real impl: ffmpeg keyframe extraction). Demonstrates the 1->N
     ``mapInPandas`` expansion shape (UDTF-style) used for frame tables."""
-    schema = f"{id_col} bigint, frame_no int, frame_hash string"
+    schema = f"{id_col} {_col_type(df, id_col)}, frame_no int, frame_hash string"
     pruned = df.select(id_col, blob_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

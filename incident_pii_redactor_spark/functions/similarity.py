@@ -88,7 +88,12 @@ def signbit_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
 
     @pandas_udf("int")
     def bucket(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        # null-tolerant: a NULL embedding hashes to bucket 0 instead of
+        # crashing the whole job (brute-force cosine tolerates the row too)
+        mat = np.stack(
+            [np.zeros(dim, dtype=np.float64) if v is None else
+             np.asarray(v, dtype=np.float64) for v in emb]
+        )
         signs = (mat @ planes.T) > 0  # (batch, n_planes)
         vals = np.zeros(len(emb), dtype=np.int32)
         for b in range(n_planes):
@@ -139,14 +144,18 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_list: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> np.ndarray:
     """One-pass distributed IVF training: seed the coarse quantizer with
     sign-LSH buckets, then take each bucket's mean as its centroid (a
     single k-means step — deterministic, one groupBy over the corpus).
     Returns an (n_list', dim) float64 array collected to the driver
     (tiny: n_list x dim), to be shipped in UDF closures."""
-    first = df.select(vec_col).head()
-    dim = len(first[0])
+    if dim is None:
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+        if first is None:
+            raise ValueError("train_ivf_centroids: no non-null embeddings")
+        dim = len(first[0])
     n_planes = max(1, int(math.log2(n_list)))
     bucket = signbit_bucket_udf(dim, n_planes, seed)
 
@@ -174,9 +183,14 @@ def ivf_assign_udf(centroids: np.ndarray):
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
 
+    dim = c.shape[1]
+
     @pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat = np.stack(
+            [np.zeros(dim, dtype=np.float64) if v is None else
+             np.asarray(v, dtype=np.float64) for v in emb]
+        )
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int32))
 
@@ -197,7 +211,8 @@ def ivf_ann_topk(
     among the query's n_probe nearest centroids. At 10^9 vectors this
     scans ~n_probe/n_list of the corpus; in production the assignment
     column is precomputed/partitioned-by so probing prunes whole files."""
-    centroids = train_ivf_centroids(df, vec_col, n_list, seed)
+    centroids = train_ivf_centroids(df, vec_col, n_list, seed,
+                                    dim=len(query_vec))
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
     cn = centroids / np.maximum(

@@ -27,10 +27,11 @@ EMAIL_RE_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
 
 def words(text: str | Column = "text") -> Column:
-    """Non-empty whitespace-split tokens.
-    DuckDB twin: ``list_filter(string_split(text, ' '), x -> x <> '')``
-    (we split on single spaces in BOTH engines for twin-exactness)."""
-    return F.filter(F.split(text, " "), lambda w: w != "")
+    """Non-empty tokens split on ANY whitespace run (newlines included —
+    a single-space split undercounted newline-separated words, making the
+    prefilter drop docs the full scorer would keep).
+    DuckDB twin: ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``."""
+    return F.filter(F.split(text, "\\s+"), lambda w: w != "")
 
 
 def word_count(text: str | Column = "text") -> Column:
@@ -49,7 +50,7 @@ def mean_word_len(text: str | Column = "text") -> Column:
 
 def stopword_ratio(text: str | Column = "text") -> Column:
     """Fraction of lowercase tokens in the 30-word stop list."""
-    w = words(F.lower(text) if isinstance(text, str) else F.lower(text))
+    w = words(F.lower(text))
     stops = F.array(*[F.lit(s.strip("'")) for s in STOPWORDS_SQL.split(",")])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
     return F.when(F.size(w) > 0, n_stop / F.size(w)).otherwise(F.lit(0.0))

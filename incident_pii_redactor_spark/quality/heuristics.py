@@ -105,9 +105,14 @@ def heuristic_signals(texts: pd.Series) -> pd.DataFrame:
             v = len(uniques) + 1
             bi = (codes[:-1][same].astype(np.int64) * v
                   + codes[1:][same].astype(np.int64))
-            key = doc_ids[:-1][same] * (v * v) + bi
+            # compact bigram codes BEFORE combining with doc ids: a direct
+            # doc*(v*v)+bi key overflows int64 for huge batches with large
+            # vocabularies; after np.unique the code space is <= n_bigrams
+            _, bi_codes = np.unique(bi, return_inverse=True)
+            n_bi = int(bi_codes.max()) + 1
+            key = doc_ids[:-1][same] * n_bi + bi_codes
             uniq_keys, cnts = np.unique(key, return_counts=True)
-            owner = (uniq_keys // (v * v)).astype(np.int64)
+            owner = (uniq_keys // n_bi).astype(np.int64)
             np.maximum.at(top_bigram_frac, owner, cnts.astype(np.float64))
             totals = np.bincount(doc_ids[:-1][same], minlength=n).astype(
                 np.float64

@@ -39,16 +39,23 @@ def _emit_first(
         return
     already = state.exists and state.get[0]
     if not already:
-        # deterministic representative: smallest url across ALL Arrow
-        # chunks of the group (large groups arrive as multiple chunks in
-        # shuffle-dependent order — taking head(1) of the first chunk
-        # would make the survivor partition-order-dependent)
-        best = None
+        # deterministic representative across ALL Arrow chunks of the
+        # group (large groups arrive as multiple chunks in shuffle-
+        # dependent order). The key is None-safe and total: url ties
+        # (re-fetches of the same url with identical text) break on
+        # warc_ts so the survivor never depends on chunk order.
+        best = None  # one-row DataFrame (keeps dtypes for Arrow)
+        best_key = None
         for pdf in pdfs:
-            if len(pdf):
-                cand = pdf.sort_values("url").head(1)
-                if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
-                    best = cand
+            if not len(pdf):
+                continue
+            keys = list(
+                zip(pdf["url"].fillna("").astype(str),
+                    pdf["warc_ts"].astype(str))
+            )
+            i = min(range(len(keys)), key=keys.__getitem__)
+            if best_key is None or keys[i] < best_key:
+                best, best_key = pdf.iloc[[i]], keys[i]
         if best is not None:
             yield best.drop(columns=["_fp"])
     else:
