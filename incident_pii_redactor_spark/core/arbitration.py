@@ -234,6 +234,15 @@ def arbitrate(
             # default-pseudonymize types only stay RETAIN via context below
             action = PSEUDONYMIZE
             stats["force_rules_applied"] += 1
+        elif base.source == SRC_FINDER and action == RETAIN:
+            # C6 — finder-category default beats the judge fallback's blind
+            # RETAIN vote: without this, the fallback (weight 3) outvoted the
+            # finder (weight 2) on every sub-0.95 span and all five
+            # REDACT/PSEUDONYMIZE finder categories leaked verbatim
+            mapped = FINDER_ACTIONS.get(base.entity_type, RETAIN)
+            if mapped != RETAIN:
+                action = mapped
+                stats["force_rules_applied"] += 1
 
         # C5 — context adjustment
         if base.entity_type == "person_name":
@@ -244,11 +253,11 @@ def arbitrate(
             elif is_internal and action == RETAIN:
                 action = PSEUDONYMIZE
                 stats["context_adjustments"] += 1
-        if is_security and action == RETAIN and base.entity_type in (
-            "hostname", "ip_address", "customer_data_refs"
-        ):
-            action = PSEUDONYMIZE
-            stats["context_adjustments"] += 1
+        # NB: the reference's C5 "security incident upgrades RETAIN ->
+        # PSEUDONYMIZE for hostname/ip/customer ids" is subsumed here by the
+        # stricter C4 default-pseudonymize rule above (those types never
+        # reach this point as RETAIN), so context_adjustments counts only
+        # person-name adjustments — a deliberate, safer divergence.
 
         if action == REDACT:
             replacement = policy.redaction_tokens.get(

@@ -67,8 +67,11 @@ CARD_RE = re.compile(CARD_RE_STR)
 IP_RE_STR = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 IP_RE = re.compile(IP_RE_STR)
 
+# short generic prefixes (sk/pk/ak) REQUIRE a separator — without it any
+# long ordinary word starting with those letters ('skyscraperbuilding',
+# 'akamaiedgehostname') would be force-redacted as a key
 API_KEY_RE = re.compile(
-    r"\b(?:sk|pk|ak|ghp|xox[bap]|AKIA)[_-]?[A-Za-z0-9]{16,48}\b"
+    r"\b(?:(?:sk|pk|ak)[_-]|(?:ghp|xox[bap])[_-]?|AKIA)[A-Za-z0-9]{16,48}\b"
 )
 
 HOSTNAME_RE = re.compile(

@@ -34,11 +34,8 @@ class ScrubResult:
     issues: list[dict] = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
     arbitration_stats: dict = field(default_factory=dict)
-
-    @property
-    def text_reduction_pct(self) -> float:
-        """A8 (reference processing_pipeline.py:110)."""
-        return 0.0  # kept for API parity; computed where original length known
+    # A8 text_reduction_pct is a column computed by operators/scrub.py where
+    # the original length is known — deliberately NOT a stub property here
 
 
 def scrub_document(text: str, policy=None) -> ScrubResult:

@@ -29,6 +29,7 @@ from incident_pii_redactor_spark.core.detectors import (
     IP_RE,
     PHONE_RE,
     SSN_RE,
+    _DIGIT_RE,
     luhn_valid,
 )
 
@@ -62,11 +63,6 @@ ADVERSARIAL_PATTERNS: dict[str, re.Pattern] = {
 def _mask_exclusions(text: str) -> str:
     """Blank out our own placeholders so residual regexes can't match them."""
     return _EXCLUSION_RE.sub(lambda m: "\x00" * len(m.group()), text)
-
-
-import re as _re
-
-_DIGIT_RE = _re.compile(r"\d")
 
 
 def residual_pii(processed: str, masked: str | None = None) -> list[dict]:

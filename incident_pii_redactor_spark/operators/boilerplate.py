@@ -82,7 +82,17 @@ def host_boilerplate_strip(
     with_host = pages.select(
         "url", url_host(F.col("url")).alias("host"), "text"
     )
-    return with_host.groupBy("host").applyInPandas(
-        strip_group,
-        schema="url string, host string, text_clean string, n_lines_removed int",
+    schema = "url string, host string, text_clean string, n_lines_removed int"
+    # unparseable-host rows pass through untouched — grouping them together
+    # would compute "boilerplate" across UNRELATED sites and concentrate
+    # every malformed url into one straggler task
+    no_host = with_host.filter(F.col("host").isNull()).select(
+        "url", "host", F.col("text").alias("text_clean"),
+        F.lit(0).cast("int").alias("n_lines_removed"),
     )
+    stripped = (
+        with_host.filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .applyInPandas(strip_group, schema=schema)
+    )
+    return stripped.unionByName(no_host)

@@ -93,7 +93,7 @@ def manifest_rows_from_output(
     per_bucket = (
         out.select(
             BUCKET_COL,
-            F.explode_outer("redactions_by_type").alias("key", "value"),
+            F.explode("redactions_by_type").alias("key", "value"),
         )
         .groupBy(BUCKET_COL, "key")
         .agg(F.sum("value").alias("cnt"))
@@ -101,12 +101,7 @@ def manifest_rows_from_output(
         .agg(
             F.map_from_entries(
                 F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.coalesce(F.col("key"), F.lit("_none")).alias("key"),
-                            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
-                        )
-                    )
+                    F.collect_list(F.struct(F.col("key"), F.col("cnt")))
                 )
             ).alias("redactions_by_type")
         )
@@ -129,7 +124,11 @@ def manifest_rows_from_output(
             "rows_in",
             "rows_kept",
             "rows_dropped",
-            "redactions_by_type",
+            # redaction-free buckets: empty map, not null (stable consumers)
+            F.coalesce(
+                "redactions_by_type",
+                F.expr("cast(map() as map<string,bigint>)"),
+            ).alias("redactions_by_type"),
             F.lit(completed_ts).cast("timestamp").alias("completed_ts"),
         )
     )

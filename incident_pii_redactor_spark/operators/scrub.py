@@ -61,7 +61,8 @@ def _process_batch(
     scrub_dropped: bool, mask_toxicity: bool = False, policy=None,
 ) -> pd.DataFrame:
     texts = pdf[text_col].astype("string").fillna("")
-    sig = quality_signals(pd.Series(texts.to_numpy(dtype=object)), cfg)
+    text_arr = texts.to_numpy(dtype=object)  # materialized once per batch
+    sig = quality_signals(pd.Series(text_arr), cfg)
 
     out = pdf[list(id_cols)].reset_index(drop=True)
     for c in _SIGNAL_COLS:
@@ -79,7 +80,7 @@ def _process_batch(
     n_issues = [0] * len(out)
     q_score: list[float] = [1.0] * len(out)
     reduction: list[float] = [0.0] * len(out)
-    for i, (flag, text) in enumerate(zip(keep, texts.to_numpy(dtype=object))):
+    for i, (flag, text) in enumerate(zip(keep, text_arr)):
         if not (flag or scrub_dropped):
             continue
         r = scrub_document(text, policy)

@@ -94,3 +94,20 @@ def test_default_policy_matches_constants():
 
     t = "mail x@y.io now"
     assert scrub_document(t).text_scrubbed == scrub_document(t, DEFAULT_POLICY).text_scrubbed
+
+
+def test_finder_categories_act():
+    # regression: the judge fallback's RETAIN vote used to outvote every
+    # finder category, leaking all contextual detections verbatim
+    t = ("Incident report: employee id EMP48213 was involved, with a "
+         "salary of $120,000.00 under investigation id INVST882 today.")
+    out = scrub_document(t).text_scrubbed
+    assert "$120,000.00" not in out           # salary_info -> REDACT
+    assert "employee id EMP48213" not in out  # employment_info -> REDACT
+    assert "[REDACTED]" in out
+
+
+def test_internal_metrics_finder_stays_retained():
+    t = "Quarterly update: churn of 3,200 accounts discussed internally."
+    # internal_metrics maps to RETAIN in FINDER_ACTIONS — unchanged text
+    assert scrub_document(t).text_scrubbed == t
