@@ -32,12 +32,21 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    if master is None:
+        # honor spark-submit --master: setting .master() here would
+        # silently override it and run a "cluster" job in local mode on
+        # the submit host. Only default to local[] when nothing chose one.
+        from pyspark import SparkConf
+
+        try:
+            preset = SparkConf().get("spark.master", None)
+        except Exception:
+            preset = None
+        master = None if preset else f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 32)
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -51,6 +60,8 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -34,4 +34,9 @@ def read_pages(spark: SparkSession, source: str,
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.table(table)
+    if snapshot_id is not None:
+        raise ValueError(
+            "snapshot pinning requires an iceberg: source — a plain parquet "
+            "path cannot guarantee retries see identical input"
+        )
     return spark.read.parquet(source)

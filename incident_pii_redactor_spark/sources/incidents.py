@@ -39,6 +39,9 @@ INCIDENT_SCHEMA = StructType(
     [
         StructField("id", StringType()),
         StructField("incident_id", StringType()),
+        StructField("incidentId", StringType()),
+        StructField("ticket_id", StringType()),
+        StructField("ticketId", StringType()),
         StructField("title", StringType()),
         StructField("summary", StringType()),
         StructField("description", StringType()),
@@ -88,12 +91,21 @@ def read_incidents_jsonl(spark: SparkSession, path: str,
     )
 
 
+# extra id aliases the reference probes (process_incidents.py:51-68):
+# incidentId / ticket_id / ticketId. NB: platform-specific nested shapes
+# (e.g. incident.io's timeline_events with summary/actor instead of
+# content/user) need per-platform adapters — that is the reference's
+# data_collection layer (SURVEY.md S3, out of scope); unknown shapes read
+# as nulls and are dropped by incidents_as_documents' emptiness filter.
+_ID_ALIAS_FIELDS = ("id", "incident_id", "incidentId", "ticket_id", "ticketId")
+
+
 def incident_id() -> Column:
     """P1: coalesce over candidate id fields; fallback = slugged title."""
     slug = F.lower(F.regexp_replace(F.coalesce("title", F.lit("untitled")),
                                     "[^A-Za-z0-9]+", "-"))
     return F.coalesce(
-        F.col("id"), F.col("incident_id"),
+        *[F.col(c) for c in _ID_ALIAS_FIELDS],
         F.concat(F.lit("incident_"), slug),
     ).alias("incident_key")
 
@@ -140,6 +152,16 @@ def flatten_text() -> Column:
 
 def incidents_as_documents(df: DataFrame) -> DataFrame:
     """Project incident records to the engine's (id, text) document shape.
-    Blank-line records are dropped (P3, ``process_incidents.py:35-37``)."""
-    out = df.select(incident_id(), flatten_text())
+
+    P3 (``process_incidents.py:35-37``): malformed/blank records are
+    dropped. flatten_text always emits header boilerplate, so the filter
+    keys on CONTENT — a record with no id, title, summary, or description
+    (what a corrupt JSONL line parses to in PERMISSIVE mode) is noise;
+    a bare length(text) > 0 check would keep it and collide every such
+    row onto the 'incident_untitled' key."""
+    has_content = F.coalesce(
+        *[F.col(c) for c in _ID_ALIAS_FIELDS],
+        F.col("title"), F.col("summary"), F.col("description"),
+    ).isNotNull()
+    out = df.filter(has_content).select(incident_id(), flatten_text())
     return out.filter(F.length("text") > 0)

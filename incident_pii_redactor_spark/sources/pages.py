@@ -144,16 +144,21 @@ def _make_text(rng: random.Random, cls: str) -> tuple[str, str]:
 
 def synth_pages(n_rows: int, seed: int = 42, size_mult: int = 1) -> pd.DataFrame:
     """Generate n_rows deterministic pages. Column order per input_hint.
-    ``size_mult`` scales per-doc word counts (1 -> ~730 B/doc; 6 -> ~4 KB,
-    the realistic Common-Crawl page size) without changing class mix."""
+    ``size_mult`` scales per-doc size (1 -> ~730 B/doc; 6 -> ~4 KB, the
+    realistic Common-Crawl page size) by repeating each class's OWN
+    content pattern, so per-class keep/drop behavior is preserved at any
+    size (padding with clean prose would dilute the rule-violating
+    classes' signals and flip their verdicts)."""
     rows = []
     for i in range(n_rows):
         rng = random.Random((seed << 32) | i)
         cls = _CLASS_TAGS[rng.randrange(len(_CLASS_TAGS))]
         text, true_lang = _make_text(rng, cls)
-        if size_mult > 1 and cls not in ("short",):
-            extra = _prose(rng, true_lang, (size_mult - 1) * len(text.split()))
-            text = text + "\n" + extra
+        if size_mult > 1 and cls != "short":  # short must stay short
+            blocks = [text] + [
+                _make_text(rng, cls)[0] for _ in range(size_mult - 1)
+            ]
+            text = "\n".join(blocks)
         host = HOSTS[int(np.searchsorted(_HOST_CDF, rng.random()))]
         url = f"https://{host}/{cls}/{i}"
         # ~10% deliberately wrong lang tag (langid must override)
