@@ -1,0 +1,163 @@
+"""Generate golden-oracle parquet fixtures for the two driver queries that
+have no SQL-expressible DuckDB twin (VERDICT.md round-1 item #4):
+
+* ``scrub_documents`` — expected output of the fused quality+scrub stage
+  on the sf0.01 ``documents`` table, computed by the shared pure-pandas
+  core (``operators.scrub._process_batch`` — the same function the Spark
+  ``mapInPandas`` stage runs per batch; it is row-independent, so one
+  whole-table batch equals any Spark batching). This is the repo's
+  established byte-identity pattern: core/ shared verbatim between the
+  Spark UDF and the single-node oracle (CLAUDE.md).
+
+* ``emb_lsh_ann`` — expected sign-LSH top-k on the sf0.01 ``embeddings``
+  table, computed WITHOUT Spark by replaying the bucket spec
+  (``functions.similarity._hyperplanes`` + sign bits + Hamming-1 probes)
+  and emulating the Spark Column fold op-for-op: per-element double
+  products, sequential left-fold adds, sqrt, divide, then
+  BigDecimal-HALF_UP rounding to 6 places (= ``F.round(double, 6)``).
+
+The DuckDB twins in ``__spark_entry__.oracle_sql()`` are then plain
+``SELECT ... FROM read_parquet(<fixture>)``; the driver's gate hashes
+them against the live Spark run at sf0.01.
+
+Usage: python tools/make_fixtures.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def spark_round6(x: float) -> float:
+    """F.round(double, 6): Java BigDecimal.valueOf(x) (shortest decimal
+    repr, = Python repr) then setScale(6, HALF_UP)."""
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def fold_dot(a, b) -> float:
+    """Emulate F.aggregate(zip_with(a,b,x*y), 0.0, acc+v): per-element
+    double product, then sequential left-fold addition."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (float(x) * float(y))
+    return acc
+
+
+def fold_norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + (float(x) * float(x))
+    return float(np.sqrt(acc))
+
+
+def make_scrub_fixture(sf_dir: str, out_path: str) -> int:
+    import duckdb
+
+    from incident_pii_redactor_spark.operators.scrub import _process_batch
+    from incident_pii_redactor_spark.quality.scorer import DRIVER_DOCS
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    out = _process_batch(pdf, "text", ("doc_id",), DRIVER_DOCS,
+                         scrub_dropped=False)
+    table = pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+        "lang_pred": pa.array(out["lang_pred"].astype(object), pa.string()),
+        "ppl": pa.array(out["ppl"].astype("float64"), pa.float64()),
+        "word_count": pa.array(out["word_count"].astype("int64"), pa.int64()),
+        "keep": pa.array(out["keep"].astype(bool), pa.bool_()),
+        "drop_reason": pa.array(out["drop_reason"].astype(object), pa.string()),
+        "text_scrubbed": pa.array(
+            [None if v is pd.NA or v is None else str(v)
+             for v in out["text_scrubbed"]], pa.string()),
+        "n_redactions": pa.array(out["n_redactions"].astype("int64"), pa.int64()),
+        "residual_pii": pa.array(out["residual_pii"].astype("int64"), pa.int64()),
+        "quality_score": pa.array(out["quality_score"].astype("float64"),
+                                  pa.float64()),
+    })
+    pq.write_table(table, out_path)
+    return len(out)
+
+
+def make_lsh_ann_fixture(sf_dir: str, out_path: str, k: int = 10,
+                         n_planes: int = 8, seed: int = 42) -> int:
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.similarity import _hyperplanes
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    by_id = {int(r[0]): r[1] for r in rows}
+    qv = by_id[0]
+    dim = len(qv)
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sig_of(vec) -> int:
+        v = np.asarray(vec, dtype=np.float64)
+        s = 0
+        for b in range(n_planes):
+            if float(planes[b] @ v) > 0:
+                s |= 1 << b
+        return s
+
+    qsig = sig_of(qv)
+    probes = {qsig} | {qsig ^ (1 << b) for b in range(n_planes)}
+    qn = fold_norm(qv)
+    scored = []
+    for vid, vec in by_id.items():
+        if vid == 0:
+            continue
+        # same bucket rule as signbit_bucket_udf (matmul sign bits)
+        v = np.asarray(vec, dtype=np.float64)
+        signs = (v @ planes.T) > 0
+        bucket = 0
+        for b in range(n_planes):
+            if signs[b]:
+                bucket |= 1 << b
+        if bucket not in probes:
+            continue
+        cos = fold_dot(vec, qv) / (fold_norm(vec) * qn)
+        scored.append((vid, spark_round6(cos)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    top = scored[:k]
+    table = pa.table({
+        "vec_id": pa.array([t[0] for t in top], pa.int64()),
+        "cos_sim": pa.array([t[1] for t in top], pa.float64()),
+    })
+    pq.write_table(table, out_path)
+    return len(top)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "tests", "fixtures")
+    os.makedirs(out_dir, exist_ok=True)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    n1 = make_scrub_fixture(
+        sf_dir, os.path.join(out_dir, f"scrub_documents_{sf_tag}.parquet"))
+    n2 = make_lsh_ann_fixture(
+        sf_dir, os.path.join(out_dir, f"emb_lsh_ann_{sf_tag}.parquet"))
+    print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
+          f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows) to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
