@@ -49,11 +49,16 @@ VOTE_WEIGHTS = {SRC_JUDGE: 3.0, SRC_FINDER: 2.0, SRC_DETERMINISTIC: 1.0}
 
 # C4 — force rules (reference arbitration_engine.py:78-88,94-98)
 FORCE_REDACT = frozenset(
-    {"email", "phone", "credit_card", "ssn", "api_key", "secret_value"}
+    {"email", "phone", "credit_card", "ssn", "api_key", "secret_value",
+     # round-2 entity types: financial/medical/birth identifiers are
+     # always redacted (no plausible deterministic fake exists)
+     "iban", "nhs", "date_of_birth"}
 )
 DEFAULT_PSEUDONYMIZE = frozenset(
     {
         "person_name", "hostname", "ip_address", "customer_data_refs",
+        # round-2: places get deterministic fakes, not tokens
+        "address", "location",
         # infra identifiers (D3): the pseudonym shapes REF-{h}/#channel-{h}
         # and the validator's exclusion list always intended these to be
         # pseudonymized; without this entry the C9 judge fallback's RETAIN
@@ -74,6 +79,11 @@ REDACTION_TOKENS = {
     "person_name": "[REDACTED_NAME]",
     "hostname": "[REDACTED_HOST]",
     "ip_address": "[REDACTED_IP]",
+    "iban": "[REDACTED_IBAN]",
+    "nhs": "[REDACTED_NHS]",
+    "date_of_birth": "[REDACTED_DOB]",
+    "address": "[REDACTED_ADDRESS]",
+    "location": "[REDACTED_LOCATION]",
 }
 DEFAULT_TOKEN = "[REDACTED]"
 
@@ -123,6 +133,11 @@ def pseudonym(entity_type: str, text: str) -> str:
         return f"REF-{h[:6]}"
     if entity_type == "slack_channel":
         return f"#channel-{h[:4]}"
+    if entity_type == "address":
+        # deterministic fake street (R5 seed-keyed-fake family)
+        return f"{100 + int(h[:3], 16) % 900} Elm Street"
+    if entity_type == "location":
+        return f"City_{h[:4]}"
     return f"ENT_{h[:6]}"
 
 

@@ -5,9 +5,16 @@ Re-expresses from scratch (public regex knowledge only) the reference's
 detection surface:
 
 * D1  Presidio-backed entity scan (``src/core/pii_detector.py:26-90``) —
-  reimplemented as explicit regexes + Luhn (the north rule requires no
-  Presidio); entity set: email, phone, ssn, credit_card, ip_address,
-  person_name, api_key, hostname.
+  reimplemented as explicit regexes + checksums (the north rule requires
+  no Presidio); entity set matches the reference's 11-type list at
+  ``pii_detector.py:26-38`` (PERSON, PHONE_NUMBER, EMAIL_ADDRESS,
+  CREDIT_CARD, US_SSN, ADDRESS, DATE_OF_Birth, IP_ADDRESS, IBAN_CODE,
+  NHS, LOCATION) plus api_key/hostname: email, phone, ssn, credit_card
+  (Luhn), ip_address, person_name, api_key, hostname, iban (mod-97),
+  nhs (mod-11 check digit), date_of_birth (context-gated dates),
+  address (street-pattern), location (gazetteer — the regex-only
+  replacement for Presidio's NER, same design as the FIRST_NAMES gate
+  for person).
 * D3  Custom patterns: internal_url, jira_ticket, aws_arn, kubernetes_pod,
   slack_channel, docker_image at fixed confidence 0.8
   (``deterministic_extractor.py:118-125, 223-265``).
@@ -106,6 +113,113 @@ _NOT_SURNAMES = frozenset(
     "Please Thanks Hello Dear Team Incident Summary Title Description".split()
 )
 
+# --- round-2 additions: the reference's remaining 5 entity types
+# (pii_detector.py:31-37 ADDRESS, DATE_OF_Birth, IBAN_CODE, NHS, LOCATION)
+
+# IBAN: 2-letter country + 2 check digits + 11-30 alphanumerics, validated
+# by the public mod-97 rule (ISO 13616); per-country lengths pin the
+# common cases so 'DE44...' truncations don't half-match.
+IBAN_RE_STR = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+IBAN_RE = re.compile(IBAN_RE_STR)
+_IBAN_LEN = {
+    "AD": 24, "AT": 20, "BE": 16, "CH": 21, "CZ": 24, "DE": 22, "DK": 18,
+    "ES": 24, "FI": 18, "FR": 27, "GB": 22, "GR": 27, "HR": 21, "HU": 28,
+    "IE": 22, "IS": 26, "IT": 27, "LI": 21, "LT": 20, "LU": 20, "LV": 21,
+    "MC": 27, "MT": 31, "NL": 18, "NO": 15, "PL": 28, "PT": 25, "RO": 24,
+    "SE": 24, "SI": 19, "SK": 24, "SM": 27,
+}
+
+
+def iban_valid(s: str) -> bool:
+    """ISO 13616 mod-97: move the first 4 chars to the end, map A-Z to
+    10-35, and the resulting integer must be ≡ 1 (mod 97)."""
+    country = s[:2]
+    expected = _IBAN_LEN.get(country)
+    if expected is not None and len(s) != expected:
+        return False
+    rearranged = s[4:] + s[:4]
+    total = 0
+    for ch in rearranged:
+        if ch.isdigit():
+            total = total * 10 + (ord(ch) - 48)
+        else:
+            total = total * 100 + (ord(ch) - 55)  # 'A' -> 10
+        total %= 97
+    return total == 1
+
+
+# NHS number: 10 digits (optionally 3-3-4 grouped), validated by the
+# public mod-11 check-digit rule (weights 10..2 over the first 9 digits).
+NHS_RE_STR = r"\b\d{3}[ -]?\d{3}[ -]?\d{4}\b"
+NHS_RE = re.compile(NHS_RE_STR)
+
+
+def nhs_valid(digits: str) -> bool:
+    if len(digits) != 10:
+        return False
+    total = sum((ord(d) - 48) * (10 - i) for i, d in enumerate(digits[:9]))
+    check = 11 - (total % 11)
+    if check == 11:
+        check = 0
+    if check == 10:
+        return False
+    return check == ord(digits[9]) - 48
+
+
+# DATE_OF_BIRTH: a date expression within reach of a birth-context cue
+# (Presidio ships no DOB recognizer; context-gating is the standard
+# regex-only design and keeps plain dates/timestamps out).
+_DOB_CONTEXT_RE = re.compile(
+    r"\b(?:born(?:\s+on)?|birth\s*date|date\s+of\s+birth|dob|d\.o\.b\.?)"
+    r"\b\s*[:=-]?\s*",
+    re.IGNORECASE,
+)
+_DATE_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}"
+    r"|\d{1,2}[/-]\d{1,2}[/-]\d{2,4}"
+    r"|(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|"
+    r"Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|"
+    r"Dec(?:ember)?)\.?\s+\d{1,2},?\s+\d{4}"
+)
+
+# ADDRESS: street-number + 1-3 capitalized words + suffix, with optional
+# unit and city/state/ZIP tail (US-shaped, like Presidio's pattern
+# recognizers; NER-grade address parsing is out of scope by design).
+ADDRESS_RE_STR = (
+    r"\b\d{1,5}\s+(?:[A-Z][A-Za-z]+\s+){1,3}"
+    r"(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|"
+    r"Court|Ct|Place|Pl|Way|Terrace|Ter)\b\.?"
+    r"(?:,?\s*(?:Apt|Suite|Unit)\.?\s*#?\s*\w{1,6})?"
+    r"(?:,\s*[A-Z][a-z]+(?:\s+[A-Z][a-z]+)?,\s*[A-Z]{2}\s+\d{5}(?:-\d{4})?)?"
+)
+ADDRESS_RE = re.compile(ADDRESS_RE_STR)
+
+# LOCATION: gazetteer of major cities / countries / US states — the
+# regex-only stand-in for Presidio's NER LOCATION, mirroring the
+# FIRST_NAMES allowlist design used for person_name.
+_GAZETTEER = (
+    "New York", "Los Angeles", "San Francisco", "Chicago", "Houston",
+    "Phoenix", "Philadelphia", "San Diego", "Dallas", "Austin", "Seattle",
+    "Denver", "Boston", "Atlanta", "Miami", "Portland", "Detroit",
+    "Minneapolis", "London", "Paris", "Berlin", "Madrid", "Rome",
+    "Amsterdam", "Dublin", "Vienna", "Prague", "Warsaw", "Lisbon",
+    "Zurich", "Geneva", "Brussels", "Copenhagen", "Stockholm", "Oslo",
+    "Helsinki", "Tokyo", "Osaka", "Seoul", "Beijing", "Shanghai",
+    "Singapore", "Sydney", "Melbourne", "Toronto", "Vancouver", "Montreal",
+    "Mexico City", "Sao Paulo", "Buenos Aires", "Mumbai", "Delhi",
+    "Bangalore", "Dubai", "Tel Aviv", "Cairo", "Lagos", "Nairobi",
+    "United States", "United Kingdom", "Germany", "France", "Spain",
+    "Italy", "Canada", "Australia", "Japan", "China", "India", "Brazil",
+    "California", "Texas", "Florida", "Washington", "Virginia", "Oregon",
+    "Colorado", "Arizona", "Nevada", "Georgia",
+)
+# longest-first so 'New York' wins over any single-word member inside it
+LOCATION_RE = re.compile(
+    r"\b(?:" + "|".join(
+        re.escape(g) for g in sorted(_GAZETTEER, key=len, reverse=True)
+    ) + r")\b"
+)
+
 
 def luhn_valid(digits: str) -> bool:
     """Luhn checksum — Presidio's CREDIT_CARD recognizer applies this
@@ -194,7 +308,8 @@ def detect_pii(text: str) -> list[Span]:
     if any(t in text for t in _HOST_TLDS):
         for m in HOSTNAME_RE.finditer(text):
             spans.append(Span(m.start(), m.end(), "hostname", 0.9, m.group()))
-    if _UPPER_RE.search(text):
+    has_upper = _UPPER_RE.search(text) is not None
+    if has_upper:
         for m in PERSON_RE.finditer(text):
             first, last = m.group(1), m.group(2)
             if first.lower() in FIRST_NAMES and last not in _NOT_SURNAMES:
@@ -203,6 +318,32 @@ def detect_pii(text: str) -> list[Span]:
                     Span(m.start(1), m.end(2), "person_name", 0.85,
                          text[m.start(1): m.end(2)])
                 )
+    # round-2 entity types (reference pii_detector.py:31-37)
+    if has_upper and has_digit:
+        for m in IBAN_RE.finditer(text):
+            if iban_valid(m.group()):
+                spans.append(Span(m.start(), m.end(), "iban", 0.99, m.group()))
+        for m in ADDRESS_RE.finditer(text):
+            spans.append(Span(m.start(), m.end(), "address", 0.85, m.group()))
+    if has_digit:
+        for m in NHS_RE.finditer(text):
+            if nhs_valid(re.sub(r"[ -]", "", m.group())):
+                spans.append(Span(m.start(), m.end(), "nhs", 0.99, m.group()))
+        lower = text.lower()
+        if "birth" in lower or "born" in lower or "dob" in lower:
+            for c in _DOB_CONTEXT_RE.finditer(text):
+                # date must START within 24 chars of the cue (tolerates a
+                # short filler like 'born on the '); endpos leaves room
+                # for the longest date form (~18 chars)
+                m = _DATE_RE.search(text, c.end(), c.end() + 24 + 18)
+                if m is not None and m.start() <= c.end() + 24:
+                    spans.append(
+                        Span(m.start(), m.end(), "date_of_birth", 0.9,
+                             m.group())
+                    )
+    if has_upper:
+        for m in LOCATION_RE.finditer(text):
+            spans.append(Span(m.start(), m.end(), "location", 0.85, m.group()))
     return spans
 
 

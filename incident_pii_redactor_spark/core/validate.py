@@ -26,11 +26,15 @@ from collections import Counter
 from incident_pii_redactor_spark.core.detectors import (
     CARD_RE,
     EMAIL_RE,
+    IBAN_RE,
     IP_RE,
+    NHS_RE,
     PHONE_RE,
     SSN_RE,
     _DIGIT_RE,
+    iban_valid,
     luhn_valid,
+    nhs_valid,
 )
 
 # D10 — placeholders produced by our own scrub (reference :82-88)
@@ -44,6 +48,7 @@ _EXCLUSION_RE = re.compile(
     r"|SSN-\*{3}-\*{2}-[0-9a-f]{4}"
     r"|CUST_[0-9a-f]{8}|API_[0-9a-f]{12}|REF-[0-9a-f]{6}"
     r"|#channel-[0-9a-f]{4}|ENT_[0-9a-f]{6}"
+    r"|\d{3} Elm Street|City_[0-9a-f]{4}"
     r"|192\.168\.1\.\d{1,3}"
     r"|\b(?:SEC|INC|JIRA)-\d+\b"
 )
@@ -97,6 +102,12 @@ def residual_pii(processed: str, masked: str | None = None) -> list[dict]:
                 add("phone", m)
         for m in IP_RE.finditer(masked):
             add("ip_address", m, severity="high")
+        for m in NHS_RE.finditer(masked):
+            if nhs_valid(re.sub(r"[ -]", "", m.group())):
+                add("nhs", m)
+        for m in IBAN_RE.finditer(masked):
+            if iban_valid(m.group()):
+                add("iban", m)
     return issues
 
 

@@ -23,5 +23,33 @@ def test_oracle_coverage():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs
-    # documented rows-only set — everything else must carry an oracle
-    assert qs - oracles == {"scrub_documents", "emb_lsh_ann"}
+    # round 2: every query carries an oracle (scrub_documents and
+    # emb_lsh_ann via golden fixtures, see FIXTURE_SF)
+    assert qs - oracles == set()
+    assert set(entrymod.FIXTURE_SF) <= oracles
+
+
+def test_scrub_fixture_is_fresh():
+    """The golden fixture must match the CURRENT shared core — a stale
+    fixture (generated before a detector change) would fail the driver
+    gate. Recomputes the expected output and compares value-for-value."""
+    import duckdb
+
+    from incident_pii_redactor_spark.operators.scrub import _process_batch
+    from incident_pii_redactor_spark.quality.scorer import DRIVER_DOCS
+
+    fx = entrymod._FIXTURES + "/scrub_documents_sf0.01.parquet"
+    pdf = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).df()
+    out = _process_batch(pdf, "text", ("doc_id",), DRIVER_DOCS,
+                         scrub_dropped=False)
+    stored = duckdb.sql(f"SELECT * FROM read_parquet('{fx}')").df()
+    assert len(out) == len(stored)
+    assert (out["keep"].to_numpy() == stored["keep"].to_numpy()).all()
+    assert (out["n_redactions"].to_numpy().astype("int64")
+            == stored["n_redactions"].to_numpy()).all()
+    live = ["" if v is None else v for v in out["text_scrubbed"].fillna("")]
+    kept = ["" if v is None else v for v in stored["text_scrubbed"].fillna("")]
+    assert live == kept, "stale fixture: regenerate with tools/make_fixtures.py"
