@@ -192,6 +192,7 @@ def arbitrate(
     deterministic: list[Span],
     finder: list[Span],
     policy=None,
+    judge_fn=None,
 ) -> tuple[list[Span], dict[str, int]]:
     """C2-C7: fuse stages into final per-span decisions + stats.
 
@@ -199,6 +200,8 @@ def arbitrate(
     keys conflicts_resolved / force_rules_applied / context_adjustments —
     reference arbitration_engine.py:288-296). ``policy`` (core.policy.Policy)
     overrides force rules / tokens / exceptions; None = built-in defaults.
+    ``judge_fn(text, spans) -> {key: Span}`` replaces the built-in judge
+    simulation (the reference's ``use_real_api`` seam, no network).
     """
     if policy is None:
         from incident_pii_redactor_spark.core.policy import DEFAULT_POLICY
@@ -218,7 +221,10 @@ def arbitrate(
         bucket.append(s.copy(action=_default_action(s)))
         if len(bucket) > 1:
             stats["conflicts_resolved"] += 1
-    judge = judge_spans(deterministic + finder)
+    if judge_fn is None:
+        judge = judge_spans(deterministic + finder)
+    else:
+        judge = judge_fn(text, deterministic + finder)
     for key, vote in judge.items():
         if key in by_key:
             by_key[key].append(vote)

@@ -38,16 +38,26 @@ class ScrubResult:
     # the original length is known — deliberately NOT a stub property here
 
 
-def scrub_document(text: str, policy=None) -> ScrubResult:
+def scrub_document(text: str, policy=None, judge_fn=None) -> ScrubResult:
     """Run the full 5-stage pipeline on one document. Deterministic.
     ``policy`` (core.policy.Policy) customizes force rules / tokens /
-    exceptions; None = built-in defaults."""
+    exceptions; None = built-in defaults.
+
+    ``judge_fn`` is the pluggable judge seam — the reference's
+    ``use_real_api`` switch (``src/core/llm_clients.py:79-98,339-353``)
+    without network: a callable ``(text, spans) -> {span_key: Span}``
+    producing judge votes, replacing the built-in C8/C9 simulation
+    (``arbitration.judge_spans``). A batch-scoring model plugs in here;
+    in Spark it ships in the UDF closure and is invoked per document
+    inside the Arrow batch (amortized model state lives in the closure).
+    None = built-in simulation, output byte-identical to round 1."""
     if not text:
         return ScrubResult(text_scrubbed=text or "")
 
     deterministic = detect_deterministic(text)          # stage 1 (D1-D5, C1)
     finder = detect_contextual(text, deterministic)     # stage 2 (D6-D8)
-    decisions, arb_stats = arbitrate(text, deterministic, finder, policy)  # 3+4
+    decisions, arb_stats = arbitrate(text, deterministic, finder, policy,
+                                     judge_fn=judge_fn)  # 3+4
     scrubbed, lineage = splice(text, decisions)         # stage 4b (R1-R4)
 
     applied = [rec for rec in lineage if rec["action"] != "SKIPPED_NO_MATCH"]

@@ -137,11 +137,12 @@ def minhash_lsh_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
-    rows_per_band consecutive minhashes. Returns (id_a, id_b, band_id)
-    distinct pairs with id_a < id_b. The join is per (band_id, band_key) —
-    never a cross join."""
-    from pyspark.storagelevel import StorageLevel
-
+    rows_per_band consecutive minhashes. Returns (id_a, id_b) distinct
+    CANDIDATE pairs with id_a < id_b — banding has false positives
+    (P ~ 1-(1-s^rows_per_band)^bands for true shingle-Jaccard s), so
+    dedup decisions should verify candidates with ``jaccard_on_pairs``
+    (jobs/dedup.py does by default). The join is per (band_id, band_key)
+    — never a cross join."""
     if n_perm % bands:
         raise ValueError(
             f"bands ({bands}) must divide n_perm ({n_perm}) — trailing "
@@ -159,9 +160,13 @@ def minhash_lsh_pairs(
     # Materialization barrier: without it Catalyst's CollapseProject inlines
     # the (expensive) signature expression into every band-key expression on
     # BOTH join sides — ~2*bands x redundant MinHash computation (measured
-    # 31s -> ~3s on 5k docs). At real scale you would persist signatures to
-    # a table; within one job MEMORY_AND_DISK is the same idea.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # 31s -> ~3s on 5k docs). localCheckpoint (not persist): it severs the
+    # lineage eagerly AND its blocks are released when this DataFrame is
+    # garbage-collected, so repeated calls in a long-lived session leak
+    # nothing (a persist here had no unpersist point — the caller owns the
+    # action — and accumulated cached partitions; ADVICE.md round 1). At
+    # real scale you would persist signatures to a table instead.
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
         F.explode(

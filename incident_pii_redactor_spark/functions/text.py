@@ -94,6 +94,58 @@ def redact_emails(text: str | Column = "text") -> Column:
     return F.regexp_replace(c, EMAIL_RE_SQL, "[REDACTED_EMAIL]")
 
 
+def _email_matches_desc(c: Column) -> Column:
+    """Distinct email matches, lexicographically descending. Processing
+    order matters only when one match contains another (prefix 'a@b.co'
+    in 'a@b.com', or suffix 'a@b.com' in 'xa@b.com'); binary-desc order
+    handles both and — critically — is the SAME order DuckDB's
+    list_reverse(list_sort(...)) twin uses, so outputs stay identical."""
+    return F.reverse(
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(c, F.lit(EMAIL_RE_SQL), F.lit(0))
+            )
+        )
+    )
+
+
+def anonymize_emails(text: str | Column = "text",
+                     method: str = "replace") -> Column:
+    """R7 parity — Presidio-style anonymize operators as pure Catalyst
+    expressions (reference ``src/core/pii_redactor.py:90-121``):
+
+    * ``replace``: token substitution (Presidio ``replace`` config)
+    * ``hash``:    each match becomes its sha256 hex (Presidio ``hash``)
+    * ``mask``:    last <=4 chars become ``*`` (Presidio ``mask`` with
+                   masking_char='*', chars_to_mask=4)
+    * ``remove``:  match deleted (Presidio ``replace`` with '')
+
+    Single-entity (email) JVM-side variants — the full multi-entity path
+    applies the same operators span-wise inside the arbitrated scrub.
+    DuckDB twin: ``list_reduce(list_prepend(text, matches), ...)``."""
+    c = F.col(text) if isinstance(text, str) else text
+    if method == "replace":
+        return F.regexp_replace(c, EMAIL_RE_SQL, "[EMAIL]")
+    if method == "remove":
+        return F.regexp_replace(c, EMAIL_RE_SQL, "")
+    ms = _email_matches_desc(c)
+    if method == "hash":
+        return F.aggregate(
+            ms, c, lambda acc, m: F.replace(acc, m, F.sha2(m, 256))
+        )
+    if method == "mask":
+        def masked(m: Column) -> Column:
+            return F.concat(
+                F.substr(m, F.lit(1), F.greatest(F.length(m) - 4, F.lit(0))),
+                F.repeat(F.lit("*"), F.least(F.length(m), F.lit(4))),
+            )
+
+        return F.aggregate(
+            ms, c, lambda acc, m: F.replace(acc, m, masked(m))
+        )
+    raise ValueError(f"anonymize_emails: unknown method {method!r}")
+
+
 def quality_prefilter(
     text: str | Column = "text",
     min_words: int = 20,

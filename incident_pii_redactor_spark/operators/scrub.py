@@ -59,6 +59,7 @@ _SIGNAL_COLS = (
 def _process_batch(
     pdf: pd.DataFrame, text_col: str, id_cols: tuple, cfg: QualityConfig,
     scrub_dropped: bool, mask_toxicity: bool = False, policy=None,
+    judge_fn=None,
 ) -> pd.DataFrame:
     texts = pdf[text_col].astype("string").fillna("")
     text_arr = texts.to_numpy(dtype=object)  # materialized once per batch
@@ -83,7 +84,7 @@ def _process_batch(
     for i, (flag, text) in enumerate(zip(keep, text_arr)):
         if not (flag or scrub_dropped):
             continue
-        r = scrub_document(text, policy)
+        r = scrub_document(text, policy, judge_fn=judge_fn)
         scrubbed[i] = mask_toxic(r.text_scrubbed) if mask_toxicity else r.text_scrubbed
         n_red[i] = r.n_redactions
         by_type[i] = {k: int(v) for k, v in sorted(r.redactions_by_type.items())}
@@ -111,6 +112,7 @@ def quality_scrub(
     scrub_dropped: bool = False,
     mask_toxicity: bool = False,
     policy=None,
+    judge_fn=None,
 ) -> DataFrame:
     """Run the fused quality+scrub stage. Narrow (no shuffle); output keeps
     ``id_cols`` then appends ``RESULT_FIELDS``.
@@ -120,6 +122,10 @@ def quality_scrub(
     ``mask_toxicity=True`` additionally replaces block-listed words with
     ``[TOXIC]`` in the scrubbed text (off by default: the keep/drop gate
     already drops high-toxicity docs; masking legit prose is opt-in).
+    ``judge_fn`` plugs a custom judge into the arbitration stage (the
+    reference's ``use_real_api`` seam, see core.pipeline.scrub_document);
+    it must be a picklable top-level callable — it ships to executors in
+    the UDF closure. None = built-in simulation (byte-identical output).
     """
     src_schema = dict(zip(df.schema.names, [f.dataType.simpleString()
                                             for f in df.schema.fields]))
@@ -131,6 +137,7 @@ def quality_scrub(
         for pdf in batches:
             if len(pdf):
                 yield _process_batch(pdf, text_col, id_cols, cfg,
-                                     scrub_dropped, mask_toxicity, policy)
+                                     scrub_dropped, mask_toxicity, policy,
+                                     judge_fn)
 
     return pruned.mapInPandas(run, schema=schema)

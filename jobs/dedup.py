@@ -9,9 +9,15 @@ Scale design:
 * exact: one hash-aggregate on md5(normalized text) — the shuffle carries
   (32-hex, url) pairs, never document text; keeper = min(url).
 * near: MinHash signatures (single-pass expression) -> banded LSH
-  self-join -> candidate pairs -> per-pair min-url-wins drop set. The
-  drop set is tiny relative to the corpus (it is the duplicates), so the
-  final filter is a broadcast LEFT ANTI join — the corpus never shuffles.
+  self-join -> candidate pairs -> exact n-gram Jaccard VERIFICATION of
+  each candidate (on by default: with n_perm=8/bands=4 the banding FP
+  rate is ~1-(1-s^2)^4, so unrelated docs with ~20% shingle overlap
+  would otherwise be deleted ~15% of the time; --no-verify-jaccard
+  restores the unverified path and documents that rate) -> per-pair
+  min-url-wins drop set. Verification runs on candidates only, never
+  the corpus. The drop set is tiny relative to the corpus (it is the
+  duplicates), so the final filter is a broadcast LEFT ANTI join — the
+  corpus never shuffles.
 * min-url-wins per pair is one union-by-min step, not full connected
   components: for a chain A-B-C it keeps A and drops B and C, which is
   the standard first-order near-dup policy (full CC costs an iterative
@@ -27,6 +33,7 @@ from pyspark.sql import functions as F
 
 from incident_pii_redactor_spark.functions.dedup import (
     content_hash,
+    jaccard_on_pairs,
     minhash_lsh_pairs,
 )
 from incident_pii_redactor_spark.plans import build_session
@@ -41,6 +48,14 @@ def parse_args(argv=None):
     p.add_argument("--shingle-words", type=int, default=3)
     p.add_argument("--n-perm", type=int, default=8)
     p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--jaccard-threshold", type=float, default=0.7,
+                   help="min exact n-gram Jaccard for a candidate pair to "
+                        "count as a duplicate (0.7 keeps one-word edits of "
+                        "short docs in the duplicate class; LSH banding FPs "
+                        "sit far below it)")
+    p.add_argument("--no-verify-jaccard", action="store_true",
+                   help="treat raw LSH candidates as duplicates (FP rate "
+                        "~1-(1-s^2)^4 at default n_perm=8/bands=4)")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
 
@@ -68,13 +83,18 @@ def run(args, spark=None) -> dict:
                 df, id_col="url", text_col="text",
                 n=args.shingle_words, n_perm=args.n_perm, bands=args.bands,
             )
-            # min-url-wins: the larger url of every candidate pair drops
+            if not args.no_verify_jaccard:
+                # exact verification on candidates only — kills banding FPs
+                pairs = jaccard_on_pairs(
+                    pairs, df, id_col="url", text_col="text",
+                    n=args.shingle_words,
+                ).filter(F.col("jaccard") >= args.jaccard_threshold)
+            # min-url-wins: the larger url of every confirmed pair drops
             drops = pairs.select(F.col("id_b").alias("url")).distinct()
             df = df.join(F.broadcast(drops), on="url", how="left_anti")
             stats["rows_after_near"] = df.count()
 
         df.write.mode("overwrite").parquet(args.output)
-        spark.catalog.clearCache()  # release the LSH signature persist
         stats["rows_out"] = spark.read.parquet(args.output).count()
         return stats
     finally:

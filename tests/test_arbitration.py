@@ -111,3 +111,29 @@ def test_internal_metrics_finder_stays_retained():
     t = "Quarterly update: churn of 3,200 accounts discussed internally."
     # internal_metrics maps to RETAIN in FINDER_ACTIONS — unchanged text
     assert scrub_document(t).text_scrubbed == t
+
+
+def test_judge_seam_pluggable():
+    """The judge_fn seam (reference use_real_api, llm_clients.py:79-98):
+    a custom judge can flip a decision; the default stays byte-identical;
+    passing the built-in simulation explicitly changes nothing."""
+    from incident_pii_redactor_spark.core import scrub_document
+    from incident_pii_redactor_spark.core.arbitration import judge_spans
+    from incident_pii_redactor_spark.core.spans import REDACT, SRC_JUDGE
+
+    text = "the prod cluster is fine"
+    base = scrub_document(text).text_scrubbed
+    assert "prod" in base  # bare keyword: advisory 0.3 span, RETAINed
+
+    def aggressive_judge(t, spans):
+        return {
+            s.key(): s.copy(source=SRC_JUDGE, action=REDACT, confidence=0.9)
+            for s in spans if s.entity_type == "internal_keyword"
+        }
+
+    flipped = scrub_document(text, judge_fn=aggressive_judge).text_scrubbed
+    assert "prod" not in flipped and "[REDACTED]" in flipped
+
+    # explicit built-in == default (byte identity preserved)
+    same = scrub_document(text, judge_fn=lambda t, s: judge_spans(s))
+    assert same.text_scrubbed == base

@@ -221,3 +221,35 @@ def test_minhash_short_docs_never_pair(spark):
                                           "solo", "two words"])]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert minhash_lsh_pairs(df).count() == 0
+
+
+def test_anonymize_emails_methods(spark):
+    """R7 parity: Presidio-style hash/mask/replace/remove operator configs
+    (reference pii_redactor.py:90-121) as Catalyst expressions."""
+    import hashlib
+
+    from incident_pii_redactor_spark.functions.text import anonymize_emails
+
+    df = spark.createDataFrame(
+        [("mail a@b.com and xa@b.com end",)], "text string"
+    )
+    r = df.select(
+        anonymize_emails("text", "hash").alias("h"),
+        anonymize_emails("text", "mask").alias("m"),
+        anonymize_emails("text", "replace").alias("r"),
+        anonymize_emails("text", "remove").alias("x"),
+    ).head()
+    ha = hashlib.sha256(b"a@b.com").hexdigest()
+    hxa = hashlib.sha256(b"xa@b.com").hexdigest()
+    assert r.h == f"mail {ha} and {hxa} end"  # suffix containment handled
+    assert r.m == "mail a@b**** and xa@b**** end"
+    assert r.r == "mail [EMAIL] and [EMAIL] end"
+    assert r.x == "mail  and  end"
+
+
+def test_anonymize_mask_short_match(spark):
+    from incident_pii_redactor_spark.functions.text import anonymize_emails
+
+    df = spark.createDataFrame([("x a@b.de y",)], "text string")
+    r = df.select(anonymize_emails("text", "mask").alias("m")).head()
+    assert r.m == "x a@**** y"  # 6-char match: keep 2, mask last 4

@@ -143,3 +143,44 @@ def test_crash_between_write_and_manifest_is_idempotent(spark, pages_parquet,
     assert len(again) == len(full)  # no duplicated rows
     import pandas as pd
     pd.testing.assert_frame_equal(again, full)
+
+
+def test_dedup_job_jaccard_verification_kills_lsh_fps(spark, tmp_path_factory):
+    """ADVICE round 1: raw LSH candidates must not be treated as confirmed
+    duplicates. This pair shares one minhash band (verified offline with
+    the exact signature formula) but has n-gram Jaccard ~0.31 — the
+    verified path must RETAIN both docs; --no-verify-jaccard drops one."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("dedup_fp")
+    ts = dt.datetime(2025, 1, 1)
+    common = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    tail_a = " ".join(f"worda0x{i}" for i in range(20))
+    tail_b = " ".join(f"wordb0y{i}" for i in range(20))
+    rows = [("https://a/1", ts, b"", f"{common} {tail_a}", "en"),
+            ("https://a/2", ts, b"", f"{common} {tail_b}", "en")]
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, str(d / "pages.parquet"))
+
+    base = ["--input", str(d / "pages.parquet"), "--mode", "near"]
+    verified = dedup_run(dedup_args(
+        base + ["--output", str(d / "out_v")]), spark=spark)
+    assert verified["rows_after_near"] == 2  # FP candidate retained
+
+    raw = dedup_run(dedup_args(
+        base + ["--output", str(d / "out_raw"), "--no-verify-jaccard"]),
+        spark=spark)
+    assert raw["rows_after_near"] == 1  # unverified path drops the FP
