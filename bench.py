@@ -23,19 +23,8 @@ PAGES_N = int(os.environ.get("BENCH_PAGES_N", "200000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
-HEADLINE = (
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "top_orders_per_customer",
-    "events_hourly",
-    "user_sessions",
-    "doc_token_stats",
-    "doc_minhash_pairs",
-    "doc_simhash",
-    "emb_cosine_topk",
-    "scrub_documents",
-)
+# every driver query is benched (VERDICT round-1 item #9: per-query
+# tracking so later rounds can diff regressions query-by-query)
 
 
 def pages_path(n_shards: int = 32, size_mult: int = 1, rows: int | None = None) -> str:
@@ -94,7 +83,7 @@ def main() -> None:
     warm = spark.range(CPUS * 4).repartition(CPUS)
     warm.mapInPandas(lambda it: it, "id long").count()
 
-    for name in HEADLINE:
+    for name in qs:  # registry order groups query families
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         n = df.count()

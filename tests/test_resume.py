@@ -184,3 +184,46 @@ def test_dedup_job_jaccard_verification_kills_lsh_fps(spark, tmp_path_factory):
         base + ["--output", str(d / "out_raw"), "--no-verify-jaccard"]),
         spark=spark)
     assert raw["rows_after_near"] == 1  # unverified path drops the FP
+
+
+def test_results_cli_surface(spark, pages_parquet, tmp_path_factory, capsys):
+    """tools/results_cli.py = the reference's db_cli query surface
+    (get / list / unprocessed / stats) over the job's parquet+manifest."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from results_cli import parse_args as cli_args
+
+    d = tmp_path_factory.mktemp("rescli")
+    run(parse_args(["--input", pages_parquet, "--output", str(d / "out"),
+                    "--manifest", str(d / "mf"), "--n-buckets", "4",
+                    "--bucket-group-size", "4"]), spark=spark)
+    some_url = spark.read.parquet(str(d / "out")).select("url").head()[0]
+
+    a = cli_args(["get", "--output", str(d / "out"), "--url", some_url])
+    assert a.fn(a) == 0
+    out = capsys.readouterr().out
+    assert some_url in out and '"keep"' in out
+
+    a = cli_args(["list", "--output", str(d / "out"), "--dropped",
+                  "--limit", "3"])
+    assert a.fn(a) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert lines and all(not r["keep"] for r in lines)
+
+    a = cli_args(["unprocessed", "--input", pages_parquet,
+                  "--output", str(d / "out")])
+    assert a.fn(a) == 0
+    assert capsys.readouterr().out.strip() == ""  # full run: nothing pending
+
+    a = cli_args(["stats", "--output", str(d / "out"),
+                  "--manifest", str(d / "mf")])
+    assert a.fn(a) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["docs"] == 2000
+    assert stats["kept"] + stats["dropped"] == 2000
+    assert stats["manifest_runs"][0]["buckets"] == 4
+
+    a = cli_args(["get", "--output", str(d / "out"), "--url", "nope://x"])
+    assert a.fn(a) == 1  # not found -> nonzero exit

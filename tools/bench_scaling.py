@@ -161,6 +161,16 @@ def main() -> None:
         f"{p['framework_relative_efficiency']} |"
         for p in pairs
     )
+    # prose generated FROM the numbers (round-1 verdict: the narrative
+    # must never overclaim what its own table shows)
+    pair_reading = "\n".join(
+        f"- {p['N']} -> {p['4N']} cores: Spark efficiency "
+        f"{p['efficiency']} ({'meets' if p['efficiency'] >= 0.8 else 'below'}"
+        f" the >= 0.8 target); the bare-multiprocessing ceiling on this box "
+        f"is {p['hardware_ceiling_efficiency']}, so framework-relative "
+        f"efficiency is {p['framework_relative_efficiency']}."
+        for p in pairs
+    )
     md = f"""# BENCH -- scaling evidence (N vs 4N)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and
@@ -191,12 +201,12 @@ this box can scale ANY implementation of this workload.
 
 ## Reading
 
-- At 2 -> 8 cores the Spark job meets the target (>= 0.8).
-- At 8 -> 32 cores BOTH Spark and bare multiprocessing hit the same
-  wall: this VM's 32 "cores" do not deliver 4x the per-core compute of 8
-  (shared-host vCPU / memory-bandwidth ceiling). Framework-relative
-  efficiency (Spark / ceiling) stays ~1.0 -- the engine itself adds no
-  scaling penalty.
+{pair_reading}
+- Host-timing caveat: this VM shares its host and identical runs swing
+  2-3x (CLAUDE.md); the table reports best-of-{args.passes} per level in
+  fresh JVMs. The hardware-ceiling column is the control: when BOTH the
+  Spark job and bare multiprocessing lose efficiency at the same step,
+  the wall is the box (shared vCPU / memory bandwidth), not the engine.
 - The stage is embarrassingly parallel (no shuffle, no skewed key, no
   driver collect, no cross-task state), which is the property that
   matters on a real multi-NODE cluster: adding executors adds disjoint
