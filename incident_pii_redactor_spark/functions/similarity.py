@@ -41,6 +41,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pairs_udf(dim: int):
+    """Arrow-batched pairwise cosine, BIT-IDENTICAL to the Column-fold
+    ``cosine()``: accumulates column-at-a-time in float64, so every pair
+    sees the exact IEEE op order of the sequential fold (dot then norms
+    then sqrt/mul/div) while numpy vectorizes ACROSS pairs. The fold
+    version allocates per-pair arrays inside zip_with/aggregate — ~35x
+    slower on pairwise workloads (measured 68 s -> ~2 s on 2M pairs at
+    bench sf0.1). Null on either side -> null, like the Column version."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        n = len(ea)
+        null = np.fromiter(
+            ((x is None) or (y is None) for x, y in zip(ea, eb)),
+            dtype=bool, count=n,
+        )
+        zero = np.zeros(dim, dtype=np.float64)
+        A = np.stack([zero if m else np.asarray(v, dtype=np.float64)
+                      for v, m in zip(ea, null)])
+        B = np.stack([zero if m else np.asarray(v, dtype=np.float64)
+                      for v, m in zip(eb, null)])
+        d = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(dim):  # sequential per pair = the fold's op order
+            x, y = A[:, i], B[:, i]
+            d = d + x * y
+            na = na + x * x
+            nb = nb + y * y
+        out = d / (np.sqrt(na) * np.sqrt(nb))
+        out[null] = np.nan
+        return pd.Series(out).where(~null, None)
+
+    return cos
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -276,7 +313,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 24,
+    bands: int = 40,
     band_bits: int = 2,
     seed: int = 42,
 ) -> DataFrame:
@@ -289,14 +326,21 @@ def embedding_near_dup_pairs(
     surviving pairs carry bit-identical cos_sim values.
 
     Recall is governed by (bands, band_bits): candidate probability for
-    a pair at angle θ is 1-(1-(1-θ/π)^band_bits)^bands. Defaults (24×2)
-    give 0/990 missed pairs at threshold 0.30 on the sf0.01 corpus
-    (verified); false positives are impossible (exact verification). At
+    a pair at angle θ is 1-(1-(1-θ/π)^band_bits)^bands. Defaults (40×2)
+    reproduce the exact all-pairs result at threshold 0.30 on both the
+    sf0.01 (990/990) and sf0.1 (14922/14922) corpora — 24 bands missed 1
+    of 14922 at sf0.1, matching the 0.6438^bands per-pair miss model;
+    false positives are impossible (exact verification). At
     10^9-vector scale raise ``band_bits`` (16+) so bucket sizes stay
     bounded — the shuffle is band-key-partitioned either way, and skewed
-    buckets split under AQE. Production note: for very large corpora,
-    join candidate ID pairs back to the vector table instead of carrying
-    vectors through the band shuffle."""
+    buckets split under AQE.
+
+    Plan shape: the band shuffle carries only (id, band_key) — candidate
+    ID pairs are deduped FIRST (narrow rows), then vectors join back from
+    the base table and the batched ``cosine_pairs_udf`` verifies (exact,
+    bit-identical to the Column fold). Carrying vectors through the band
+    shuffle + dedupe was ~2x the shuffle bytes and the per-pair Column
+    fold was ~35x slower than the Arrow batch."""
     dim_row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
     if dim_row is None:
         raise ValueError("embedding_near_dup_pairs: no non-null embeddings")
@@ -304,23 +348,24 @@ def embedding_near_dup_pairs(
     keys = band_keys_udf(dim, bands, band_bits, seed)
     sig = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.explode(keys(F.col(vec_col))).alias("band_key"),
     )
-    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("ea"),
-                   "band_key")
-    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("eb"),
-                   "band_key")
-    pairs = (
+    a = sig.select(F.col("_id").alias("id_a"), "band_key")
+    b = sig.select(F.col("_id").alias("id_b"), "band_key")
+    pair_ids = (
         a.join(b, "band_key")  # equi-join on the packed (band, bits) key
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")  # dedupe across bands
-        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+        .select("id_a", "id_b")
+        .distinct()  # dedupe across bands — narrow (two longs) rows
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    cos = cosine_pairs_udf(dim)
     return (
-        pairs.select(
+        pair_ids.join(va, "id_a").join(vb, "id_b")
+        .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+            F.round(cos(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
