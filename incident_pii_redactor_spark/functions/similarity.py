@@ -38,7 +38,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm vectors (cosine is undefined there) instead of
+    a 0/0 division — under Spark 4's default ANSI mode the bare division
+    aborts the whole job on the first all-zero embedding, while the
+    DuckDB twin's double math yields NaN; NULL on the Spark side and NaN
+    on the DuckDB side both fail a `>= threshold` filter, so the two
+    engines agree wherever a result survives."""
+    d = norm(a) * norm(b)
+    return F.when(d != 0, dot(a, b) / d)
 
 
 def cosine_pairs_udf(dim: int):
@@ -48,7 +55,10 @@ def cosine_pairs_udf(dim: int):
     then sqrt/mul/div) while numpy vectorizes ACROSS pairs. The fold
     version allocates per-pair arrays inside zip_with/aggregate — ~35x
     slower on pairwise workloads (measured 68 s -> ~2 s on 2M pairs at
-    bench sf0.1). Null on either side -> null, like the Column version."""
+    bench sf0.1). Null input OR zero-norm vector -> null, matching the
+    Column version's guarded NULL (NaN in a float64 pandas Series is
+    coerced to null by the Arrow serializer — that coercion is the
+    mechanism, there is no separate null mask)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -71,9 +81,12 @@ def cosine_pairs_udf(dim: int):
             d = d + x * y
             na = na + x * x
             nb = nb + y * y
-        out = d / (np.sqrt(na) * np.sqrt(nb))
-        out[null] = np.nan
-        return pd.Series(out).where(~null, None)
+        denom = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom != 0, d / np.where(denom == 0, 1.0, denom),
+                           np.nan)
+        out[null] = np.nan  # NaN -> null at the Arrow boundary
+        return pd.Series(out)
 
     return cos
 
@@ -361,6 +374,9 @@ def embedding_near_dup_pairs(
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
     cos = cosine_pairs_udf(dim)
+    # no ORDER BY here: a library-level global sort would shuffle every
+    # surviving pair at corpus scale; callers needing deterministic
+    # output order (the driver gate) sort the result themselves
     return (
         pair_ids.join(va, "id_a").join(vb, "id_b")
         .select(
@@ -368,7 +384,6 @@ def embedding_near_dup_pairs(
             F.round(cos(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .orderBy("id_a", "id_b")
     )
 
 

@@ -95,18 +95,23 @@ def redact_emails(text: str | Column = "text") -> Column:
 
 
 def _email_matches_desc(c: Column) -> Column:
-    """Distinct email matches, lexicographically descending. Processing
-    order matters only when one match contains another (prefix 'a@b.co'
-    in 'a@b.com', or suffix 'a@b.com' in 'xa@b.com'); binary-desc order
-    handles both and — critically — is the SAME order DuckDB's
-    list_reverse(list_sort(...)) twin uses, so outputs stay identical."""
-    return F.reverse(
-        F.array_sort(
-            F.array_distinct(
-                F.regexp_extract_all(c, F.lit(EMAIL_RE_SQL), F.lit(0))
-            )
-        )
+    """Distinct email matches ordered (length DESC, value DESC).
+    Processing order matters when one match contains another (prefix
+    'a@b.co' in 'a@b.com', or suffix 'a@b.com' in 'Aa@b.com'): the
+    CONTAINER must be rewritten first or the contained match's
+    replacement corrupts it (plain lexicographic desc got 'Aa@b.com'
+    wrong — 'a' > 'A' in binary order). Sorting (length, value) structs
+    and reversing gives the same order as DuckDB's
+    list_reverse(list_sort(list_transform(..., {'l','m'}))) twin, so
+    outputs stay identical."""
+    arr = F.array_distinct(
+        F.regexp_extract_all(c, F.lit(EMAIL_RE_SQL), F.lit(0))
     )
+    sorted_structs = F.array_sort(
+        F.transform(arr, lambda m: F.struct(F.length(m).alias("l"),
+                                            m.alias("m")))
+    )
+    return F.transform(F.reverse(sorted_structs), lambda s: s.getField("m"))
 
 
 def anonymize_emails(text: str | Column = "text",

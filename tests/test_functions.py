@@ -253,3 +253,40 @@ def test_anonymize_mask_short_match(spark):
     df = spark.createDataFrame([("x a@b.de y",)], "text string")
     r = df.select(anonymize_emails("text", "mask").alias("m")).head()
     assert r.m == "x a@**** y"  # 6-char match: keep 2, mask last 4
+
+
+def test_anonymize_containment_prefix_casing(spark):
+    """Regression (round-2 review): a containing match that sorts BELOW
+    its contained suffix in binary order ('Aa@b.com' < 'a@b.com') must
+    still be rewritten first — order is (length desc), not lexicographic."""
+    import hashlib
+
+    from incident_pii_redactor_spark.functions.text import anonymize_emails
+
+    df = spark.createDataFrame([("contact Aa@b.com and a@b.com",)],
+                               "text string")
+    r = df.select(anonymize_emails("text", "hash").alias("h")).head()
+    ha = hashlib.sha256(b"a@b.com").hexdigest()
+    haa = hashlib.sha256(b"Aa@b.com").hexdigest()
+    assert r.h == f"contact {haa} and {ha}"
+
+
+def test_cosine_zero_norm_is_null_both_paths(spark):
+    """Zero-norm embeddings: Column cosine() must yield NULL (not an ANSI
+    divide-by-zero abort) and cosine_pairs_udf must agree."""
+    from pyspark.sql import functions as F
+
+    from incident_pii_redactor_spark.functions.similarity import (
+        cosine,
+        cosine_pairs_udf,
+    )
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [0.0, 3.0])],
+        "a array<float>, b array<float>",
+    )
+    col = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    udf = df.select(cosine_pairs_udf(2)(F.col("a"), F.col("b"))
+                    .alias("c")).collect()
+    assert col[0].c is None and udf[0].c is None  # zero-norm -> null
+    assert abs(col[1].c) < 1e-12 and abs(udf[1].c) < 1e-12  # orthogonal -> 0

@@ -127,7 +127,7 @@ def test_embedding_near_dup_lsh_equals_exact(spark):
     )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    lsh = embedding_near_dup_pairs(e, threshold=0.30)
+    lsh = embedding_near_dup_pairs(e, threshold=0.30).orderBy("id_a", "id_b")
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -28,6 +28,7 @@ from __future__ import annotations
 import decimal
 import datetime as dt
 import hashlib
+import os
 import sys
 import time
 
@@ -119,7 +120,8 @@ def main(sf_dir: str, only: list[str]) -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
-        if name in fixture_sf and fixture_sf[name] not in sf_dir:
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        if name in fixture_sf and fixture_sf[name] != sf_tag:
             print(f"skip {name}: fixture oracle is pinned to "
                   f"{fixture_sf[name]} (got {sf_dir})")
             continue

@@ -30,8 +30,19 @@ import sys
 import duckdb
 
 
+def _parquet_pattern(path: str) -> str:
+    """Directory inputs (the normal job layout) need a recursive glob;
+    a bare file path passes through."""
+    import os
+
+    return f"{path}/**/*.parquet" if os.path.isdir(path) else path
+
+
 def _out(con: duckdb.DuckDBPyConnection, output: str) -> None:
-    con.sql(f"CREATE VIEW results AS SELECT * FROM read_parquet('{output}/**/*.parquet', hive_partitioning=true)")
+    con.sql(
+        f"CREATE VIEW results AS SELECT * FROM read_parquet("
+        f"'{_parquet_pattern(output)}', hive_partitioning=true)"
+    )
 
 
 def cmd_get(args) -> int:
@@ -83,7 +94,7 @@ def cmd_unprocessed(args) -> int:
     con = duckdb.connect()
     _out(con, args.output)
     rows = con.sql(
-        f"SELECT p.url FROM read_parquet('{args.input}') p "
+        f"SELECT p.url FROM read_parquet('{_parquet_pattern(args.input)}') p "
         f"WHERE NOT EXISTS (SELECT 1 FROM results r WHERE r.url = p.url) "
         f"ORDER BY p.url LIMIT {args.limit}"
     ).fetchall()
@@ -118,7 +129,7 @@ def cmd_stats(args) -> int:
         m = con.sql(
             f"SELECT run_id, COUNT(DISTINCT partition_id) AS buckets, "
             f"CAST(SUM(rows_in) AS BIGINT) AS rows FROM "
-            f"read_parquet('{args.manifest}/*.parquet') GROUP BY run_id "
+            f"read_parquet('{_parquet_pattern(args.manifest)}') GROUP BY run_id "
             f"ORDER BY run_id"
         ).fetchall()
         out["manifest_runs"] = [
