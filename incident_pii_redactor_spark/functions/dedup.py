@@ -205,6 +205,37 @@ def minhash_lsh_pairs(
     )
 
 
+# --- winnowing fingerprints ---------------------------------------------------
+
+def winnow_fingerprints(text_col: str = "text", n: int = 3,
+                        window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): rolling k-gram hashes, then the
+    minimum of every ``window`` consecutive hashes, deduplicated. Unlike
+    a whole-document digest (``functions.text.fingerprint``), winnowed
+    fingerprints survive insertions/reorders: any shared run of
+    ``n + window - 1`` words between two docs is guaranteed to share a
+    fingerprint. Reuses the md5-derived shingle hashes the MinHash
+    operators use, so the DuckDB twin reproduces the integers exactly.
+
+    Pure Catalyst expression, O(words × window) per doc, no shuffle.
+    Docs shorter than ``window`` shingles contribute their single global
+    minimum; unshingleable docs yield an empty set."""
+    h = shingle_base_hashes(text_col, n)
+    # NB sequence(1, 0) counts DOWN in Spark — the CASE guard keeps the
+    # descending-range branch from ever evaluating
+    idx = F.sequence(F.lit(1), F.size(h) - (window - 1))
+    fps = (
+        F.when(
+            F.size(h) >= window,
+            F.transform(idx, lambda i: F.array_min(F.slice(h, i, window))),
+        )
+        .when(F.size(h) > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.array_sort(F.array_distinct(fps))
+
+
 # --- n-gram Jaccard (verification of candidate pairs) -----------------------
 
 def jaccard_on_pairs(

@@ -1,0 +1,61 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+``df.sample`` is partition-order-dependent: the same fraction over the
+same data yields different rows after a repartition, across cluster
+sizes, or between retries of a failed stage — unacceptable lineage for a
+10^12-document corpus. Hash-based Bernoulli sampling keys the decision
+on the ROW (md5 of a stable key + seed), so membership is a pure
+function of the data: reproducible across runs, engines (DuckDB twin
+reproduces the integers exactly), partitionings, and resumes, and
+different seeds give independent samples. The predicate is a plain
+Catalyst expression, so Catalyst pushes surviving filters/pruning around
+it and the sample never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def sample_hash(key: str | Column, seed: int = 42) -> Column:
+    """Stable per-row bucket in [0, 1e6): md5(key || seed) -> 60-bit int
+    -> mod 1e6. DuckDB twin:
+    ``('0x' || substr(md5(key || '<seed>'), 1, 15))::BIGINT % 1000000``."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(str(seed)))),
+                        1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(_BUCKETS),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str, seed: int = 42
+) -> DataFrame:
+    """Keep each row iff its hash bucket < fraction * 1e6 — an exact-rate
+    Bernoulli sample that is a pure function of (key, seed)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(sample_hash(key_col, seed) < int(fraction * _BUCKETS))
+
+
+def stratified_deterministic_sample(
+    df: DataFrame, fractions: dict, strata_col: str, key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum fractions (e.g. downsample 'en' to 10%, keep 'mi' at
+    100%) with the same hash-stability guarantees. Unknown strata are
+    dropped, mirroring ``DataFrameStatFunctions.sampleBy`` semantics."""
+    bucket = sample_hash(key_col, seed)
+    cond = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(strata_col) == stratum) & (bucket < int(frac * _BUCKETS))
+        )
+    return df.filter(cond)

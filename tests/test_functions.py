@@ -290,3 +290,51 @@ def test_cosine_zero_norm_is_null_both_paths(spark):
                     .alias("c")).collect()
     assert col[0].c is None and udf[0].c is None  # zero-norm -> null
     assert abs(col[1].c) < 1e-12 and abs(udf[1].c) < 1e-12  # orthogonal -> 0
+
+
+def test_winnow_fingerprints_shift_robust(spark):
+    """Winnowing guarantee: any shared run of n+window-1 words yields at
+    least one shared fingerprint, even after a prefix insertion shifts
+    every position (whole-doc md5 fingerprints share nothing)."""
+    from incident_pii_redactor_spark.functions.dedup import winnow_fingerprints
+    from incident_pii_redactor_spark.functions.text import fingerprint
+
+    shared = ("the quick brown fox jumps over the lazy dog near the "
+              "riverbank at dawn")
+    rows = [(1, shared), (2, "PREFIX INSERTED WORDS " + shared), (3, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (set(r.w), r.fp) for r in df.select(
+        "doc_id",
+        winnow_fingerprints("text").alias("w"),
+        fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[1][0] & out[2][0]            # winnow: shared fingerprints
+    assert out[1][1] != out[2][1]           # md5: nothing shared
+    assert out[3][0] == set()               # unshingleable -> empty set
+
+
+def test_deterministic_sample_stability(spark):
+    """Hash sampling is a pure function of (key, seed): invariant under
+    repartitioning (df.sample is not), seed-sensitive, near-rate."""
+    from incident_pii_redactor_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_deterministic_sample,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    a = {r.doc_id for r in deterministic_sample(df, 0.2, "doc_id").collect()}
+    b = {r.doc_id for r in
+         deterministic_sample(df.repartition(17), 0.2, "doc_id").collect()}
+    assert a == b and 0.17 < len(a) / 5000 < 0.23
+    c = {r.doc_id for r in
+         deterministic_sample(df, 0.2, "doc_id", seed=7).collect()}
+    assert c != a
+    s = stratified_deterministic_sample(
+        df, {"en": 1.0, "de": 0.1}, "lang", "doc_id"
+    ).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in s}
+    assert got["en"] == 1667  # full stratum kept
+    assert 230 < got["de"] < 440  # ~10% of 3333
