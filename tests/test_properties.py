@@ -107,3 +107,41 @@ def test_langid_total_on_arbitrary_unicode(text):
     langs, conf = predict_language([text])
     assert langs[0] in ("en", "de", "es", "fr", "zh", "und")
     assert 0.0 <= conf[0] <= 1.0
+
+
+@given(st.integers(min_value=0, max_value=999_999_999))
+@settings(max_examples=50, deadline=None)
+def test_nhs_check_digit_uniqueness(body9):
+    """For any 9-digit body, at most one check digit validates (mod-11
+    admits zero valid digits when the remainder maps to 10), and a valid
+    full number is redacted by the scrub."""
+    from incident_pii_redactor_spark.core import scrub_document
+    from incident_pii_redactor_spark.core.detectors import nhs_valid
+
+    body = f"{body9:09d}"
+    valid = [k for k in range(10) if nhs_valid(body + str(k))]
+    assert len(valid) <= 1
+    for k in valid:
+        out = scrub_document(f"id {body}{k} end").text_scrubbed
+        assert "[REDACTED_NHS]" in out
+
+
+@given(st.integers(min_value=0, max_value=10**18 - 1))
+@settings(max_examples=50, deadline=None)
+def test_iban_mod97_construction(bban_num):
+    """Constructed IBANs (check digits computed per ISO 13616) always
+    validate and get redacted; perturbing one digit never validates."""
+    from incident_pii_redactor_spark.core import scrub_document
+    from incident_pii_redactor_spark.core.detectors import iban_valid
+
+    bban = f"{bban_num:018d}"  # DE BBAN: 18 digits
+    # check digits: 98 - (BBAN + 'DE00' as digits) mod 97
+    as_digits = int(bban + "131400")  # D=13, E=14, 00
+    check = 98 - (as_digits % 97)
+    iban = f"DE{check:02d}{bban}"
+    assert iban_valid(iban)
+    out = scrub_document(f"pay to {iban} now").text_scrubbed
+    assert "[REDACTED_IBAN]" in out and iban not in out
+    # single-digit perturbation breaks mod-97
+    mutated = iban[:6] + str((int(iban[6]) + 1) % 10) + iban[7:]
+    assert not iban_valid(mutated)
