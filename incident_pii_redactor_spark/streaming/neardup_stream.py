@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator: first-seen-wins NEAR-dup dedup
+via ``applyInPandasWithState`` (the streaming counterpart of the batch
+``minhash_lsh_pairs`` + Jaccard-verify path in jobs/dedup.py).
+
+Design — single-band key + full-signature verification:
+
+* A doc's state key is ONE MinHash band (its first ``band_rows``
+  minhashes, computed JVM-side by the same Catalyst expression the batch
+  path uses, so the shuffle key never enters Python). One key means the
+  admit/drop decision is ATOMIC — multi-band streaming would ask several
+  independent state groups to agree on one doc, which
+  applyInPandasWithState cannot express without a second stateful pass.
+* Within a band group, a collision is only a CANDIDATE (same FP argument
+  as the batch path): the incoming doc's full signature is compared
+  against the signatures admitted earlier in this bucket, and it is
+  dropped only when the fraction of agreeing minhashes — the standard
+  MinHash estimate of Jaccard similarity — reaches ``threshold``.
+  Admitted signatures are kept in state (bounded by ``max_kept``).
+* Single-band recall is 1-(1-s^band_rows) per true near-dup pair —
+  deliberately partial: the intended production topology is this cheap
+  streaming pass for intra-window dups plus the batch dedup job as the
+  periodic exact compaction (the same split the reference's
+  collector/batch design implies).
+* Docs too short to shingle carry the sentinel signature; they are
+  routed to an exact-fingerprint key (``_short:md5(text)``) instead, so
+  they still dedup exactly but can never near-dup-collide with each
+  other (the batch path filters them for the same reason).
+* State TTL bounds memory exactly like the exact-dedup stream: size is
+  O(buckets within the TTL window), not O(stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from incident_pii_redactor_spark.functions.dedup import (
+    _MH_P,
+    minhash_signature,
+)
+
+STATE_SCHEMA = "sigs string"
+_SIG_SEP = ";"
+
+
+def _agreement(a: list[str], b: list[str]) -> float:
+    return sum(x == y for x, y in zip(a, b)) / max(len(a), 1)
+
+
+def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int):
+    def dedup_group(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        kept: list[list[str]] = []
+        if state.exists and state.get[0]:
+            kept = [s.split("|") for s in state.get[0].split(_SIG_SEP)]
+        # deterministic processing order across Arrow chunks: sort each
+        # microbatch's rows by (url, warc_ts) so the survivor set never
+        # depends on shuffle chunk order
+        rows = []
+        for pdf in pdfs:
+            if len(pdf):
+                rows.append(pdf)
+        if rows:
+            batch = pd.concat(rows, ignore_index=True)
+            batch = batch.sort_values(
+                ["url", "warc_ts"], kind="mergesort"
+            ).reset_index(drop=True)
+            emit = []
+            for i in range(len(batch)):
+                sig = str(batch["_sig"].iloc[i]).split("|")
+                if any(_agreement(sig, k) >= threshold for k in kept):
+                    continue  # near-dup of an admitted doc -> drop
+                emit.append(i)
+                if len(kept) < max_kept:
+                    kept.append(sig)
+            if emit:
+                yield batch.iloc[emit].drop(columns=["_sig", "_key"])
+        state.update((_SIG_SEP.join("|".join(s) for s in kept),))
+        state.setTimeoutDuration(ttl_ms)
+
+    return dedup_group
+
+
+def streaming_neardup_dedup(
+    pages: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    max_kept: int = 16,
+    ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """First occurrence per near-dup class across the stream (within the
+    state TTL). Input: streaming DataFrame with url/warc_ts/text."""
+    sig = minhash_signature(text_col, n=n, n_perm=n_perm)
+    sig_str = F.array_join(F.transform(sig, lambda v: v.cast("string")), "|")
+    band = F.array_join(
+        F.transform(F.slice(sig, 1, band_rows), lambda v: v.cast("string")),
+        "|",
+    )
+    sentinel = str(_MH_P)
+    keyed = pages.withColumn("_sig", sig_str).withColumn(
+        "_key",
+        F.when(
+            F.split(F.col("_sig"), "\\|").getItem(0) != sentinel,
+            F.concat(F.lit("band:"), band),
+        ).otherwise(F.concat(F.lit("_short:"), F.md5(F.col(text_col)))),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
+    )
+    return keyed.groupBy("_key").applyInPandasWithState(
+        _make_group_fn(threshold, max_kept, ttl_ms),
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

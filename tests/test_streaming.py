@@ -56,3 +56,71 @@ def test_windowed_metrics_stream(spark, stream_dir):
     assert len(m) >= 3
     assert m["rows"].sum() == 300
     assert (m["kept"] <= m["rows"]).all()
+
+
+def test_streaming_neardup_dedup(spark, tmp_path_factory):
+    """Streaming near-dup: first-seen kept; exact and near dups dropped
+    across MICROBATCH BOUNDARIES (state persists); a band-colliding
+    low-similarity pair survives verification; short docs dedup exactly
+    via the sentinel route."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.streaming.neardup_stream import (
+        streaming_neardup_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the field while the sun rises slowly over the quiet hills")
+    near = base.replace("hills", "peaks")         # sig agreement 1.0
+    other = ("parquet files shuffle broadcast joins and executors schedule "
+             "tasks across the cluster while metrics accumulate in the driver")
+    common = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    fp_a = common + " " + " ".join(f"worda0x{i}" for i in range(20))
+    fp_b = common + " " + " ".join(f"wordb0y{i}" for i in range(20))
+    # fp_a/fp_b share band 0 but have sig agreement 0.5 < threshold 0.6:
+    # the verification step must admit BOTH (the raw-LSH path would not)
+
+    d = tmp_path_factory.mktemp("neardup_stream")
+    ts = dt.datetime(2025, 1, 1)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                        "lang"]),
+            schema=schema, preserve_index=False), str(d / name))
+
+    write("b0.parquet", [("u1", ts, b"", base, "en"),
+                         ("u2", ts, b"", other, "en"),
+                         ("u3", ts, b"", "tiny", "en"),
+                         ("u4", ts, b"", fp_a, "en")])
+    write("b1.parquet", [("u5", ts, b"", base, "en"),    # exact dup of u1
+                         ("u6", ts, b"", near, "en"),    # near dup of u1
+                         ("u7", ts, b"", "tiny", "en"),  # exact short dup
+                         ("u8", ts, b"", fp_b, "en")])   # band FP: admit
+
+    pages = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = tmp_path_factory.mktemp("neardup_out")
+    q = (
+        streaming_neardup_dedup(pages, threshold=0.6)
+        .writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
+    assert got == {"u1", "u2", "u3", "u4", "u8"}
