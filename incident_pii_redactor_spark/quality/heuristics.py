@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from incident_pii_redactor_spark.quality.perplexity import tokenize_batch
+from incident_pii_redactor_spark.quality.perplexity import factorized_tokens
 
 # Per-language stop words (small, embedded; en list is the C4/Gopher-style
 # core, others cover the fixture languages).
@@ -50,19 +50,21 @@ STOP_WORDS: dict[str, frozenset] = {
 _ALL_STOP = frozenset().union(*STOP_WORDS.values())
 
 
-def heuristic_signals(texts: pd.Series) -> pd.DataFrame:
+def heuristic_signals(texts: pd.Series, tok=None) -> pd.DataFrame:
     """Compute raw heuristic signals for a batch. Returns a DataFrame with:
     word_count, mean_word_len, stopword_ratio, symbol_ratio, alpha_frac,
-    dup_line_frac, ellipsis_line_frac, n_chars."""
+    dup_line_frac, ellipsis_line_frac, n_chars.
+    ``tok``: optional precomputed ``factorized_tokens`` result."""
     n = len(texts)
     s = texts.fillna("")
-    flat, doc_ids, counts = tokenize_batch(s)
+    flat, doc_ids, counts, codes, uniques = (
+        tok if tok is not None else factorized_tokens(s)
+    )
 
     word_count = counts.astype(np.int64)
     safe = np.maximum(word_count, 1).astype(np.float64)
 
     if flat.size:
-        codes, uniques = pd.factorize(flat)
         uniq_len = np.array([len(w) for w in uniques], dtype=np.float64)
         uniq_stop = np.array([w in _ALL_STOP for w in uniques], dtype=np.float64)
         char_sums = np.bincount(doc_ids, weights=uniq_len[codes], minlength=n)

@@ -74,16 +74,35 @@ def tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return flat, doc_ids, counts
 
 
-def perplexity_batch(texts: pd.Series) -> np.ndarray:
-    """Pseudo-perplexity per doc (float64). Docs with < 2 words get the
-    worst (unsmoothed-unknown) perplexity so length rules stay decisive."""
-    n = len(texts)
+def factorized_tokens(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(flat, doc_id_per_word, words_per_doc, codes, uniques) — ONE
+    tokenize + factorize pass shared by perplexity / heuristics /
+    toxicity (each used to redo both; ~14% of the whole fused-scrub
+    batch profile)."""
     flat, doc_ids, counts = tokenize_batch(texts)
+    if flat.size:
+        codes, uniques = pd.factorize(flat)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    return flat, doc_ids, counts, codes, uniques
+
+
+def perplexity_batch(texts: pd.Series, tok=None) -> np.ndarray:
+    """Pseudo-perplexity per doc (float64). Docs with < 2 words get the
+    worst (unsmoothed-unknown) perplexity so length rules stay decisive.
+    ``tok``: optional precomputed ``factorized_tokens`` result."""
+    n = len(texts)
+    flat, doc_ids, counts, codes, uniques = (
+        tok if tok is not None else factorized_tokens(texts)
+    )
     out = np.full(n, float(np.exp(-_MAX_LOGP)), dtype=np.float64)
     if flat.size < 2:
         return out
 
-    codes, uniques = pd.factorize(flat)
     uh = _hash_words(list(uniques))  # crc32 only over unique words
     h = uh[codes]
 

@@ -75,14 +75,19 @@ def quality_signals(
     """Score a batch. Returns heuristic signal columns plus:
     lang_pred, lang_conf, ppl, keep (bool), drop_reason (str, '' if kept),
     and one boolean ``rule_<name>`` column per rule (True = passed)."""
+    from incident_pii_redactor_spark.quality.perplexity import (
+        factorized_tokens,
+    )
     from incident_pii_redactor_spark.quality.toxicity import toxicity_ratio
 
-    sig = heuristic_signals(texts)
+    # one shared tokenize+factorize pass for heuristics/ppl/toxicity
+    tok = factorized_tokens(texts.fillna(""))
+    sig = heuristic_signals(texts, tok=tok)
     langs, conf = predict_language(list(texts.fillna("")))
     sig["lang_pred"] = langs
     sig["lang_conf"] = conf
-    sig["ppl"] = perplexity_batch(texts)
-    sig["tox_ratio"] = toxicity_ratio(texts)
+    sig["ppl"] = perplexity_batch(texts, tok=tok)
+    sig["tox_ratio"] = toxicity_ratio(texts, tok=tok)
 
     passed = {
         "lang_allowed": np.isin(langs.astype(str), cfg.allowed_langs)

@@ -15,7 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from incident_pii_redactor_spark.quality.perplexity import tokenize_batch
+from incident_pii_redactor_spark.quality.perplexity import factorized_tokens
 
 BLOCK_WORDS = frozenset(
     """damn hell crap idiot stupid moron jerk loser scum filth trash
@@ -25,14 +25,16 @@ BLOCK_WORDS = frozenset(
 _MASK = "[TOXIC]"
 
 
-def toxicity_ratio(texts: pd.Series) -> np.ndarray:
+def toxicity_ratio(texts: pd.Series, tok=None) -> np.ndarray:
     """Fraction of words in the block list, per doc. Vectorized: one
-    factorize over the batch, set lookup only on unique words."""
+    factorize over the batch, set lookup only on unique words.
+    ``tok``: optional precomputed ``factorized_tokens`` result."""
     n = len(texts)
-    flat, doc_ids, counts = tokenize_batch(texts)
+    flat, doc_ids, counts, codes, uniques = (
+        tok if tok is not None else factorized_tokens(texts)
+    )
     if not flat.size:
         return np.zeros(n)
-    codes, uniques = pd.factorize(flat)
     bad = np.array([w in BLOCK_WORDS for w in uniques], dtype=np.float64)
     bad_counts = np.bincount(doc_ids, weights=bad[codes], minlength=n)
     return bad_counts / np.maximum(counts, 1)
