@@ -115,18 +115,14 @@ def cosine_topk(
 # --- LSH ANN -----------------------------------------------------------------
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes: unit-variance values from a
-    seeded multiplicative hash (no RNG state; same planes on every
-    executor and in the oracle)."""
-    with np.errstate(over="ignore"):  # uint64 wrap-around is the hash design
-        idx = np.arange(dim * n_planes, dtype=np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15
-        ) + np.uint64(seed)
-    h = (idx * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(11)
-    u = (h % np.uint64(1 << 24)).astype(np.float64) / float(1 << 24)  # U(0,1)
-    # inverse-ish normal via sum of uniforms (Irwin-Hall, 4 terms)
-    g = u.reshape(n_planes, dim)
-    return g - 0.5  # mean-0 is all sign-LSH needs
+    """Seeded-PCG Gaussian hyperplanes — deterministic for a given seed on
+    every executor (the generator is rebuilt from the literal seed; no
+    RNG state travels), and properly isotropic. Round-2 upgrade: the
+    original multiplicative-hash uniform planes carried correlated sign
+    bits that cost LSH recall (measured 8/990 missed near-dup pairs at
+    sf0.01 vs 0/990 with Gaussians); all sign-LSH consumers (ANN top-k,
+    IVF coarse quantizer, pairwise near-dup) now share this generator."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
 def signbit_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
@@ -285,16 +281,6 @@ def ivf_ann_topk(
 
 # --- corpus-level near-dup (bucketed pairwise) -------------------------------
 
-def _gaussian_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    """Seeded-PCG Gaussian hyperplanes — deterministic for a given seed on
-    every executor (no shared RNG state travels; the generator is rebuilt
-    from the literal seed), and properly isotropic. The hash-derived
-    uniform planes in ``_hyperplanes`` carry correlated sign bits that
-    cost LSH recall: measured 8/990 missed pairs at sf0.01 (r=2, B=32)
-    vs 0/990 with Gaussians at every tested (r, B)."""
-    return np.random.default_rng(seed).standard_normal((n_planes, dim))
-
-
 def band_keys_udf(dim: int, bands: int, band_bits: int, seed: int = 42):
     """Vectorized pandas UDF: embedding -> array of ``bands`` band keys.
     Key i packs that band's ``band_bits`` sign bits plus the band index,
@@ -302,7 +288,7 @@ def band_keys_udf(dim: int, bands: int, band_bits: int, seed: int = 42):
     matmul per Arrow batch — no per-row Python."""
     from pyspark.sql.functions import pandas_udf
 
-    planes = _gaussian_planes(dim, bands * band_bits, seed)
+    planes = _hyperplanes(dim, bands * band_bits, seed)
 
     @pandas_udf("array<int>")
     def keys(emb: pd.Series) -> pd.Series:
