@@ -465,9 +465,11 @@ def detect_keywords(text: str, existing: list[Span]) -> list[Span]:
             )
     # exact substring gate before the 15-way alternation scan: clean prose
     # (the common case at corpus scale) contains none of the keywords, and
-    # 15 memchr passes beat one backtracking alternation pass
-    lower = text.lower()
-    if any(kw in lower for kw in INTERNAL_KEYWORDS):
+    # 15 memchr passes beat one backtracking alternation pass. ASCII-only:
+    # IGNORECASE matches Unicode case variants ('paſsword', 'İNTERNAL')
+    # that a lower() substring test misses, so non-ASCII text always scans
+    if not text.isascii() or any(kw in text.lower()
+                                 for kw in INTERNAL_KEYWORDS):
         for m in _KEYWORD_RE.finditer(text):
             if m.start() in covered:
                 continue

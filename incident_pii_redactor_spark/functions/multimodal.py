@@ -31,27 +31,50 @@ IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # IHDR color type -> channels
 
 
+_INT32_MAX = 0x7FFFFFFF
+
+
+def _dims_ok(w: int, h: int) -> bool:
+    # PNG caps dimensions at 2^31-1 by spec; anything outside (0, int32]
+    # is a corrupt/malicious header -> treat as undecodable (the output
+    # schema is int32 — an unchecked value would wrap through Arrow)
+    return 0 < w <= _INT32_MAX and 0 < h <= _INT32_MAX
+
+
 def _decode_image_header(blob: bytes):
     """REAL header parse for PNG / GIF / BMP / JPEG; None if the blob is
-    none of them (caller falls back to the deterministic fake)."""
+    none of them or the header is corrupt (caller falls back to the
+    deterministic fake)."""
     if len(blob) >= 26 and blob[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", blob[16:24])
-        return w, h, _PNG_CHANNELS.get(blob[25], 3), "png"
+        return (w, h, _PNG_CHANNELS.get(blob[25], 3), "png") \
+            if _dims_ok(w, h) else None
     if len(blob) >= 10 and blob[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", blob[6:10])
-        return w, h, 3, "gif"
+        return (w, h, 3, "gif") if _dims_ok(w, h) else None
     if len(blob) >= 30 and blob[:2] == b"BM":
         w, h = struct.unpack("<ii", blob[18:26])
         bpp = struct.unpack("<H", blob[28:30])[0]
-        return w, abs(h), max(1, bpp // 8), "bmp"
+        h = -h if h < 0 else h  # negative height = top-down row order
+        return (w, h, max(1, bpp // 8), "bmp") if _dims_ok(w, h) else None
     if len(blob) >= 4 and blob[:2] == b"\xff\xd8":
         # walk JPEG segments to the first SOF0/1/2 frame header
         i = 2
-        while i + 9 < len(blob) and blob[i] == 0xFF:
-            marker, seg_len = blob[i + 1], struct.unpack(">H", blob[i + 2:i + 4])[0]
+        while i + 4 <= len(blob) and blob[i] == 0xFF:
+            if blob[i + 1] == 0xFF:  # fill bytes between markers are legal
+                i += 1
+                continue
+            marker = blob[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):
+                if i + 10 > len(blob):
+                    return None  # SOF truncated
                 h, w = struct.unpack(">HH", blob[i + 5:i + 9])
-                return w, h, blob[i + 9], "jpeg"
+                return (w, h, blob[i + 9], "jpeg") if _dims_ok(w, h) else None
+            if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+                return None
+            seg_len = struct.unpack(">H", blob[i + 2:i + 4])[0]
+            if seg_len < 2:
+                return None  # corrupt length would loop forever
             i += 2 + seg_len
         return None
     return None
@@ -114,7 +137,10 @@ def decode_audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                     rate, frames = w.getframerate(), w.getnframes()
                     return (w.getnchannels(), rate, frames,
                             frames / rate if rate else 0.0, "wav")
-            except wave.Error:
+            except (wave.Error, EOFError, struct.error):
+                # truncated RIFF raises EOFError/struct.error from the
+                # stdlib parser, not just wave.Error — one corrupt upload
+                # must not kill the task
                 pass  # malformed RIFF -> fallback
         h = hashlib.md5(blob).digest()
         rate = (8000, 16000, 44100, 48000)[h[0] % 4]

@@ -42,7 +42,9 @@ def deterministic_sample(
     Bernoulli sample that is a pure function of (key, seed)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(sample_hash(key_col, seed) < int(fraction * _BUCKETS))
+    # round, not truncate: int(0.29 * 1e6) == 289999 under binary floats,
+    # one bucket below the natural literal a hand-written oracle would use
+    return df.filter(sample_hash(key_col, seed) < round(fraction * _BUCKETS))
 
 
 def stratified_deterministic_sample(
@@ -56,6 +58,6 @@ def stratified_deterministic_sample(
     cond = F.lit(False)
     for stratum, frac in sorted(fractions.items()):
         cond = cond | (
-            (F.col(strata_col) == stratum) & (bucket < int(frac * _BUCKETS))
+            (F.col(strata_col) == stratum) & (bucket < round(frac * _BUCKETS))
         )
     return df.filter(cond)

@@ -395,3 +395,79 @@ def test_multimodal_real_header_decoders(spark):
             a[1].format) == (2, 16000, 8000, "wav")
     assert abs(a[1].duration_s - 0.5) < 1e-9
     assert a[2].format == "fake"
+
+
+def test_multimodal_corrupt_inputs_fall_back():
+    """Review regressions: truncated WAV must not raise; corrupt headers
+    (overflow dims, JPEG fill bytes, truncated SOF) decode or fall back
+    instead of crashing / wrapping int32."""
+    import struct
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_image_header,
+    )
+
+    # JPEG with legal 0xFF fill bytes before the SOF marker
+    padded = (b"\xff\xd8\xff\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+              + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 10)
+    assert _decode_image_header(padded) == (640, 480, 3, "jpeg")
+    # SOF ending exactly at EOF
+    exact = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+             + struct.pack(">HH", 10, 20) + b"\x01")
+    assert _decode_image_header(exact) == (20, 10, 1, "jpeg")
+    # truncated SOF / zero-length segment / SOS before SOF -> None
+    assert _decode_image_header(b"\xff\xd8\xff\xc0\x00\x11\x08\x00") is None
+    assert _decode_image_header(b"\xff\xd8\xff\xe0\x00\x00" + b"x" * 20) is None
+    assert _decode_image_header(b"\xff\xd8\xff\xda\x00\x04xx" + b"y" * 20) is None
+    # PNG dims overflowing int32 -> None (would wrap through Arrow)
+    bad_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">IIBBBBB", 0xFFFFFFFF, 10, 8, 2, 0, 0, 0))
+    assert _decode_image_header(bad_png) is None
+    # BMP with INT32_MIN height (abs() overflow) -> None
+    bad_bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 10, -(2 ** 31))
+               + b"\x00\x00" + struct.pack("<H", 24) + b"\x00" * 8)
+    assert _decode_image_header(bad_bmp) is None
+
+
+def test_truncated_wav_falls_back(spark):
+    import struct
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        decode_audio_meta,
+    )
+
+    truncated = (b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt "
+                 + struct.pack("<I", 16) + b"\x00" * 4)
+    df = spark.createDataFrame([(1, truncated)], "media_id long, blob binary")
+    got = decode_audio_meta(df, "media_id", "blob").collect()
+    assert got[0].format == "fake"  # EOFError from wave -> fallback, no crash
+
+
+def test_keyword_gate_unicode_case_variants():
+    """Review regression: the ASCII substring gate must not drop Unicode
+    case variants the IGNORECASE regex matches ('paſsword', 'İNTERNAL')."""
+    from incident_pii_redactor_spark.core.detectors import detect_keywords
+
+    assert any(s.entity_type == "internal_keyword"
+               for s in detect_keywords("the paſsword leaked", []))
+    assert any(s.entity_type == "internal_keyword"
+               for s in detect_keywords("İNTERNAL memo", []))
+    assert detect_keywords("a perfectly clean sentence", []) == []
+
+
+def test_sample_fraction_rounding(spark):
+    """Review regression: int() truncation lost a bucket for fractions
+    like 0.29 (0.29*1e6 == 289999.99999999994)."""
+    from incident_pii_redactor_spark.functions.sampling import (
+        _BUCKETS,
+        deterministic_sample,
+        sample_hash,
+    )
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id for r in
+           deterministic_sample(df, 0.29, "doc_id").collect()}
+    by_bucket = {r.doc_id: r.b for r in df.select(
+        "doc_id", sample_hash("doc_id").alias("b")).collect()}
+    expected = {k for k, b in by_bucket.items() if b < 290000}
+    assert got == expected  # the natural-literal cutoff, not 289999
