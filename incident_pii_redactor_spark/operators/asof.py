@@ -1,0 +1,97 @@
+"""As-of join — for each left row, the single latest right row with
+``right_ts <= left_ts`` per key. Spark has no native ASOF JOIN (DuckDB,
+Pandas, kdb do); the naive formulation is a non-equi range join that
+explodes to O(|L| x |R|) per key under BroadcastNestedLoopJoin.
+
+Spark-first design (composition of built-ins, no UDF):
+
+1. Tag both sides and UNION them on (key, ts) — right rows sort before
+   left rows at equal ts, so a right row AT the left timestamp matches
+   (inclusive as-of, the DuckDB/kdb convention).
+2. One window per key ordered by (ts, side, <right order cols>):
+   ``F.last(col, ignorenulls=True)`` over unbounded-preceding..current
+   carries the latest right values forward onto each left row.
+3. Filter back to left rows.
+
+Cost: ONE shuffle on the key (the union is shuffle-free; the window
+sorts within partitions) — at 10^12 rows this is the same shape as any
+keyed aggregation, with none of the range-join blowup. Skewed keys are
+ordinary window skew: pre-split with operators/salting if a single key
+dominates.
+
+Determinism: duplicate right rows at the same (key, ts) are broken by
+``right_order`` (ascending in the window ⇒ the LAST one wins ⇒ equals
+``ORDER BY ts DESC, <right_order> DESC LIMIT 1`` in the LATERAL-subquery
+oracle), so results are stable across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"  # 0 = right, 1 = left (sort order does the matching)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    right_order: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest right row's
+    ``right_cols`` (NULL when no right row precedes it).
+
+    ``on``: equi-key column name (same name both sides).
+    ``right_order``: tie-break columns for duplicate right timestamps
+    (defaults to ``right_cols``) — always pass something unique for
+    engine-stable results.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    if right_order is None:
+        right_order = list(right_cols)
+    out_names = [f"{c}{suffix}" for c in right_cols]
+
+    # right payload travels as ONE struct: carrying columns independently
+    # with last(ignorenulls) would mix values from different right rows
+    # whenever a right column is NULL (each column would reach back to a
+    # different "latest non-null" row)
+    payload = F.struct(*[F.col(c).alias(n)
+                         for c, n in zip(right_cols, out_names)])
+    payload_type = right.select(payload.alias("_p")).schema["_p"].dataType
+
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(payload_type).alias("_p"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_ord_{c}")
+          for c in right_order],
+    )
+    rhs = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        payload.alias("_p"),
+        *[F.col(c).alias(f"_ord_{c}") for c in right_order],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", _SIDE, *[F.asc(f"_ord_{c}") for c in right_order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).withColumn(
+        "_p", F.last("_p", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *left.columns, *[F.col("_p").getField(n).alias(n) for n in out_names]
+    )

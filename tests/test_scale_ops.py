@@ -142,3 +142,35 @@ def test_embedding_near_dup_lsh_equals_exact(spark):
         .orderBy("id_a", "id_b")
     )
     assert [tuple(r) for r in lsh.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_asof_join_semantics(spark):
+    """As-of semantics: latest right row with ts <= left ts (inclusive),
+    deterministic tie-break at duplicate timestamps, NULL when nothing
+    precedes, and NULL right-columns must not mix values across right
+    rows (struct payload, not per-column carry)."""
+    import datetime as dt
+
+    from incident_pii_redactor_spark.operators.asof import asof_join
+
+    d = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 10, d("2024-01-05")), (2, 10, d("2024-01-01")),
+         (3, 10, d("2024-01-10")), (4, 99, d("2024-01-05"))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, d("2024-01-05"), 100, "a"),   # equal-ts: inclusive
+         (10, d("2024-01-05"), 101, None),  # same ts, higher id wins tie
+         (10, d("2024-01-02"), 90, "b")],
+        "k long, rts timestamp, oid long, tag string",
+    )
+    got = {r.event_id: r for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["oid", "tag"], right_order=["rts", "oid"],
+    ).collect()}
+    assert got[2].oid_asof is None          # nothing precedes 01-01
+    assert got[1].oid_asof == 101           # 01-05 inclusive, max oid wins
+    assert got[1].tag_asof is None          # from row 101, NOT row 100's 'a'
+    assert got[3].oid_asof == 101           # carried forward past 01-05
+    assert got[4].oid_asof is None          # key with no right rows
