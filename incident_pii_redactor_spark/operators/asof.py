@@ -1,4 +1,7 @@
-"""As-of join — for each left row, the single latest right row with
+"""Temporal joins Spark lacks natively: AS-OF join and binned RANGE
+join.
+
+As-of — for each left row, the single latest right row with
 ``right_ts <= left_ts`` per key. Spark has no native ASOF JOIN (DuckDB,
 Pandas, kdb do); the naive formulation is a non-equi range join that
 explodes to O(|L| x |R|) per key under BroadcastNestedLoopJoin.
@@ -94,4 +97,47 @@ def asof_join(
     )
     return carried.filter(F.col(_SIDE) == 1).select(
         *left.columns, *[F.col("_p").getField(n).alias(n) for n in out_names]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval containment join WITHOUT an equi key:
+    ``right_start <= left_ts < right_end`` — which Spark would otherwise
+    plan as a BroadcastNestedLoopJoin (O(|L| x |R|)).
+
+    Binning turns it into an equi-join: each left timestamp maps to one
+    fixed-width bin; each right interval explodes to every bin it
+    overlaps; the join is per-bin, then the exact predicate filters.
+    No dedupe is needed — a left row lives in exactly one bin, so each
+    qualifying (left, right) pair joins exactly once.
+
+    Pick ``bin_seconds`` near the typical interval length: cost is
+    O(|L| + |R| x interval/bin + matches), and skewed (very long)
+    intervals only widen the right explosion, never a cross product.
+    Output: all left columns + all right columns.
+    """
+    # floor, not cast: a bare long-cast truncates toward zero and would
+    # mis-bin pre-1970 timestamps
+    lbin = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_seconds)
+    rs = F.unix_timestamp(F.col(right_start))
+    re_ = F.unix_timestamp(F.col(right_end))
+    bins = F.sequence(
+        F.floor(rs / bin_seconds), F.floor(re_ / bin_seconds)
+    )
+    l2 = left.withColumn("_bin", lbin)
+    r2 = right.withColumn("_bin", F.explode(bins))
+    return (
+        l2.join(r2, "_bin")
+        .filter(
+            (F.col(right_start) <= F.col(left_ts))
+            & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("_bin")
     )

@@ -174,3 +174,34 @@ def test_asof_join_semantics(spark):
     assert got[1].tag_asof is None          # from row 101, NOT row 100's 'a'
     assert got[3].oid_asof == 101           # carried forward past 01-05
     assert got[4].oid_asof is None          # key with no right rows
+
+
+def test_range_join_no_bnl_and_matches_naive(spark):
+    """Binned range join must avoid nested-loop/cartesian plans and match
+    the naive inequality join exactly, including intervals that span
+    multiple bins and empty-match rows."""
+    import datetime as dt
+
+    from incident_pii_redactor_spark.operators.asof import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=7 * i)) for i in range(60)],
+        "eid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=1), base + dt.timedelta(days=9)),
+         (2, base + dt.timedelta(days=3), base + dt.timedelta(days=3, hours=2)),
+         (3, base + dt.timedelta(days=100), base + dt.timedelta(days=101))],
+        "wid long, s timestamp, e timestamp",
+    )
+    binned = range_join(left, right, "ts", "s", "e", bin_seconds=86400)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    naive = left.join(
+        right, (F.col("s") <= F.col("ts")) & (F.col("ts") < F.col("e"))
+    )
+    key = lambda df: sorted((r.eid, r.wid) for r in df.collect())
+    assert key(binned) == key(naive)
+    assert len(key(binned)) > 0
