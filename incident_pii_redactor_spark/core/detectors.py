@@ -468,8 +468,8 @@ def detect_keywords(text: str, existing: list[Span]) -> list[Span]:
     # 15 memchr passes beat one backtracking alternation pass. ASCII-only:
     # IGNORECASE matches Unicode case variants ('paſsword', 'İNTERNAL')
     # that a lower() substring test misses, so non-ASCII text always scans
-    if not text.isascii() or any(kw in text.lower()
-                                 for kw in INTERNAL_KEYWORDS):
+    lower = text.lower()  # once, not once per keyword
+    if not text.isascii() or any(kw in lower for kw in INTERNAL_KEYWORDS):
         for m in _KEYWORD_RE.finditer(text):
             if m.start() in covered:
                 continue

@@ -28,6 +28,18 @@ def content_hash(text: str | Column = "text") -> Column:
     return F.md5(c)
 
 
+def md5_int(c: Column, modulus: int) -> Column:
+    """THE engine-portable string->int hash: first 15 hex chars of md5 as
+    a 60-bit int, mod ``modulus``. Shared by shingle hashing, sampling,
+    and the KMV sketch so the recipe (and its DuckDB twin
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT % m``) lives in one place.
+    (simhash64 keeps its own documented decimal-intermediate variant.)"""
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        F.lit(modulus),
+    )
+
+
 def exact_dedup_stats(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Groups of byte-identical docs: (content_hash, n_dups, keeper_id).
@@ -88,13 +100,7 @@ def shingle_base_hashes(text_col: str, n: int = 3) -> Column:
     from this single pass (md5 is the expensive part; computing n_perm
     independent md5s per shingle was 8x the work)."""
     sh = word_shingles(text_col, n)
-    return F.transform(
-        sh,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            F.lit(_MH_M),
-        ),
-    )
+    return F.transform(sh, lambda s: md5_int(s, _MH_M))
 
 
 def minhash_signature(text_col: str = "text", n: int = 3,

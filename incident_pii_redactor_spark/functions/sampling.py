@@ -22,17 +22,13 @@ _BUCKETS = 1_000_000
 
 def sample_hash(key: str | Column, seed: int = 42) -> Column:
     """Stable per-row bucket in [0, 1e6): md5(key || seed) -> 60-bit int
-    -> mod 1e6. DuckDB twin:
-    ``('0x' || substr(md5(key || '<seed>'), 1, 15))::BIGINT % 1000000``."""
+    -> mod 1e6 (the shared ``functions.dedup.md5_int`` recipe). DuckDB
+    twin: ``('0x' || substr(md5(key || '<seed>'), 1, 15))::BIGINT
+    % 1000000``."""
+    from incident_pii_redactor_spark.functions.dedup import md5_int
+
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(c.cast("string"), F.lit(str(seed)))),
-                        1, 15),
-            16, 10,
-        ).cast("long"),
-        F.lit(_BUCKETS),
-    )
+    return md5_int(F.concat(c.cast("string"), F.lit(str(seed))), _BUCKETS)
 
 
 def deterministic_sample(

@@ -60,6 +60,27 @@ def asof_join(
     if right_order is None:
         right_order = list(right_cols)
     out_names = [f"{c}{suffix}" for c in right_cols]
+    reserved = {"_k", "_ts", "_p", _SIDE} | {f"_ord_{c}" for c in right_order}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns collide with internal names {clash}"
+        )
+
+    # NULL timestamps: a right row with NULL right_ts sorts nulls-first
+    # and would otherwise become the 'match before everything' for left
+    # rows with no real predecessor — exclude it, like the SQL predicate
+    # right_ts <= left_ts does. NULL left_ts rows sort before all
+    # remaining right rows, so they naturally get a NULL payload.
+    right = right.filter(F.col(right_ts).isNotNull())
+
+    # compare timestamps at the WIDER type: casting right to left's type
+    # would truncate intraday time when left is date-typed, admitting
+    # right rows the oracle predicate (timestamp vs date-at-midnight)
+    # rejects
+    lt = left.schema[left_ts].dataType.simpleString()
+    rt = right.schema[right_ts].dataType.simpleString()
+    common = lt if lt == rt else "timestamp"
 
     # right payload travels as ONE struct: carrying columns independently
     # with last(ignorenulls) would mix values from different right rows
@@ -71,7 +92,7 @@ def asof_join(
 
     lhs = left.select(
         F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
+        F.col(left_ts).cast(common).alias("_ts"),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in left.columns],
         F.lit(None).cast(payload_type).alias("_p"),
@@ -80,7 +101,7 @@ def asof_join(
     )
     rhs = right.select(
         F.col(on).alias("_k"),
-        F.col(right_ts).cast(left.schema[left_ts].dataType).alias("_ts"),
+        F.col(right_ts).cast(common).alias("_ts"),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns],
@@ -123,6 +144,12 @@ def range_join(
     intervals only widen the right explosion, never a cross product.
     Output: all left columns + all right columns.
     """
+    if bin_seconds <= 0:
+        raise ValueError(f"range_join: bin_seconds must be > 0, got "
+                         f"{bin_seconds} (division by zero would silently "
+                         f"NULL every bin and match nothing)")
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError("range_join: inputs must not carry a _bin column")
     # floor, not cast: a bare long-cast truncates toward zero and would
     # mis-bin pre-1970 timestamps
     lbin = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_seconds)

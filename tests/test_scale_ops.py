@@ -176,6 +176,74 @@ def test_asof_join_semantics(spark):
     assert got[4].oid_asof is None          # key with no right rows
 
 
+def test_asof_join_null_timestamps(spark):
+    """Review regression: NULL right_ts rows must never match (SQL
+    `right_ts <= left_ts` is false for NULL), and NULL left_ts rows get
+    a NULL payload, not the nulls-first neighbor."""
+    import datetime as dt
+
+    from incident_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1)), (2, 10, None)],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, 7)], "k long, rts timestamp, oid long"
+    )
+    got = {r.event_id: r for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["oid"], right_order=["oid"],
+    ).collect()}
+    assert got[1].oid_asof is None
+    assert got[2].oid_asof is None
+
+
+def test_asof_join_date_vs_timestamp(spark):
+    """Review regression: a date-typed left side must compare at
+    timestamp precision (date = midnight), not truncate the right side's
+    intraday time."""
+    import datetime as dt
+
+    from incident_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt.date(2024, 1, 5))], "event_id long, k long, d date"
+    )
+    right = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 5, 23, 0), 7),
+         (10, dt.datetime(2024, 1, 4, 9, 0), 3)],
+        "k long, rts timestamp, oid long",
+    )
+    got = asof_join(left, right, on="k", left_ts="d", right_ts="rts",
+                    right_cols=["oid"], right_order=["oid"]).collect()
+    # 01-05 23:00 is AFTER date 2024-01-05 (midnight) -> only oid 3 matches
+    assert got[0].oid_asof == 3
+
+
+def test_operator_input_validation(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from incident_pii_redactor_spark.operators.asof import asof_join, range_join
+
+    df = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1))], "eid long, k long, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="bin_seconds"):
+        range_join(df, df.withColumnRenamed("ts", "s")
+                   .withColumn("e", F.col("s")), "ts", "s", "e",
+                   bin_seconds=0)
+    with _pytest.raises(ValueError, match="_bin"):
+        range_join(df.withColumn("_bin", F.lit(1)),
+                   df.withColumnRenamed("ts", "s").withColumn("e", F.col("s")),
+                   "ts", "s", "e")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(df.withColumn("_k", F.lit(1)), df, on="k",
+                  left_ts="ts", right_ts="ts")
+
+
 def test_range_join_no_bnl_and_matches_naive(spark):
     """Binned range join must avoid nested-loop/cartesian plans and match
     the naive inequality join exactly, including intervals that span
