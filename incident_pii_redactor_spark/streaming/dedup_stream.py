@@ -8,10 +8,21 @@ dedup-by-arbitrary-expression with TTL'd state, so this is the canonical
 
 * key  = content fingerprint (md5 of normalized text, computed JVM-side
   by `functions.text.fingerprint` so the shuffle key never enters Python)
-* state = a single seen-flag per fingerprint with a processing-time
-  timeout (state TTL bounds memory at 10^12-doc scale: state size is
-  O(distinct fingerprints within the TTL window), not O(stream))
+* state = a single seen-flag per fingerprint with an OPTIONAL
+  processing-time timeout (state TTL bounds memory at 10^12-doc scale:
+  state size is O(distinct fingerprints within the TTL window), not
+  O(stream))
 * output = only the first row per fingerprint.
+
+``ttl_ms`` semantics (round-2 fix): registering processing-time timers
+makes ``Trigger.AvailableNow`` queries NEVER terminate — Spark keeps
+scheduling ~0.8 s empty microbatches to service the pending timers
+(measured 200+ empty batches; round-1 tests masked this by reading
+committed output after an awaitTermination timeout while the query kept
+burning CPU). Pass ``ttl_ms=0`` (NoTimeout) for drain-style/bounded
+runs — the same 150-row batch then terminates in ~7 s — and a positive
+TTL only for continuously-running deployments, where triggers keep
+coming anyway and the TTL is what bounds state memory.
 
 State store scaling: keys are uniform hashes, so the state shuffle has no
 skew; RocksDB state backend handles spill on real clusters.
@@ -31,52 +42,60 @@ from incident_pii_redactor_spark.functions.text import fingerprint
 STATE_SCHEMA = "seen boolean"
 
 
-def _emit_first(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        state.remove()
-        return
-    already = state.exists and state.get[0]
-    if not already:
-        # deterministic representative across ALL Arrow chunks of the
-        # group (large groups arrive as multiple chunks in shuffle-
-        # dependent order). The key is None-safe and total: url ties
-        # (re-fetches of the same url with identical text) break on
-        # warc_ts so the survivor never depends on chunk order.
-        best = None  # one-row DataFrame (keeps dtypes for Arrow)
-        best_key = None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            keys = list(
-                zip(pdf["url"].fillna("").astype(str),
-                    pdf["warc_ts"].astype(str))
-            )
-            i = min(range(len(keys)), key=keys.__getitem__)
-            if best_key is None or keys[i] < best_key:
-                best, best_key = pdf.iloc[[i]], keys[i]
-        if best is not None:
-            yield best.drop(columns=["_fp"])
-    else:
-        for _ in pdfs:  # drain the iterator; nothing to emit
-            pass
-    state.update((True,))
-    state.setTimeoutDuration(24 * 3600 * 1000)  # 24h TTL
+def _make_emit_first(ttl_ms: int):
+    def emit_first(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists and state.get[0]
+        if not already:
+            # deterministic representative across ALL Arrow chunks of the
+            # group (large groups arrive as multiple chunks in shuffle-
+            # dependent order). The key is None-safe and total: url ties
+            # (re-fetches of the same url with identical text) break on
+            # warc_ts so the survivor never depends on chunk order.
+            best = None  # one-row DataFrame (keeps dtypes for Arrow)
+            best_key = None
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                keys = list(
+                    zip(pdf["url"].fillna("").astype(str),
+                        pdf["warc_ts"].astype(str))
+                )
+                i = min(range(len(keys)), key=keys.__getitem__)
+                if best_key is None or keys[i] < best_key:
+                    best, best_key = pdf.iloc[[i]], keys[i]
+            if best is not None:
+                yield best.drop(columns=["_fp"])
+        else:
+            for _ in pdfs:  # drain the iterator; nothing to emit
+                pass
+        state.update((True,))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
+
+    return emit_first
 
 
-def streaming_exact_dedup(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """First occurrence per content fingerprint across the whole stream
-    (within the state TTL). Input: streaming DataFrame with url/text."""
+def streaming_exact_dedup(pages: DataFrame, text_col: str = "text",
+                          ttl_ms: int = 0) -> DataFrame:
+    """First occurrence per content fingerprint across the whole stream.
+    Input: streaming DataFrame with url/text. ``ttl_ms=0`` (default) =
+    unbounded state, terminates under availableNow; positive = state TTL
+    for continuous deployments (see module docstring)."""
     keyed = pages.withColumn("_fp", fingerprint(text_col))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pages.schema.fields
     )
     return keyed.groupBy("_fp").applyInPandasWithState(
-        _emit_first,
+        _make_emit_first(ttl_ms),
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if ttl_ms > 0
+                     else GroupStateTimeout.NoTimeout),
     )

@@ -25,8 +25,11 @@ Design — single-band key + full-signature verification:
   routed to an exact-fingerprint key (``_short:md5(text)``) instead, so
   they still dedup exactly but can never near-dup-collide with each
   other (the batch path filters them for the same reason).
-* State TTL bounds memory exactly like the exact-dedup stream: size is
-  O(buckets within the TTL window), not O(stream).
+* ``ttl_ms=0`` (default) disables the state timer: processing-time
+  timers make availableNow queries run empty microbatches forever (see
+  dedup_stream module docstring for the measurement); use a positive
+  TTL only in continuously-triggered deployments, where it bounds state
+  memory to O(buckets within the TTL window).
 """
 
 from __future__ import annotations
@@ -85,7 +88,8 @@ def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int):
             if emit:
                 yield batch.iloc[emit].drop(columns=["_sig", "_key"])
         state.update((_SIG_SEP.join("|".join(s) for s in kept),))
-        state.setTimeoutDuration(ttl_ms)
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
 
     return dedup_group
 
@@ -98,7 +102,7 @@ def streaming_neardup_dedup(
     band_rows: int = 2,
     threshold: float = 0.5,
     max_kept: int = 16,
-    ttl_ms: int = 24 * 3600 * 1000,
+    ttl_ms: int = 0,
 ) -> DataFrame:
     """First occurrence per near-dup class across the stream (within the
     state TTL). Input: streaming DataFrame with url/warc_ts/text."""
@@ -124,5 +128,6 @@ def streaming_neardup_dedup(
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if ttl_ms > 0
+                     else GroupStateTimeout.NoTimeout),
     )

@@ -1,0 +1,102 @@
+"""Streaming scrub job: the production CLI around
+``streaming/scrub_stream.py`` — continuously scrub pages landing in a
+directory (the streaming counterpart of jobs/scrub.py), with optional
+upstream near-dup dedup and a side metrics stream.
+
+    spark-submit --py-files dist/engine.zip jobs/stream_scrub.py \
+        --input /landing/pages --output /data/scrubbed \
+        --checkpoint /data/ckpt [--dedup] [--metrics /data/metrics] \
+        [--available-now]
+
+Exactly-once: the parquet sink's commit log + the checkpoint make
+restarts resume from the last committed microbatch (verified by
+tests/test_scale_ops.py::test_streaming_checkpoint_recovery). State for
+--dedup is TTL-bounded (streaming/neardup_stream.py). ``--available-now``
+drains what exists and exits (batch-over-stream semantics for cron-style
+deployments); the default runs until terminated.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from incident_pii_redactor_spark.plans import build_session
+from incident_pii_redactor_spark.streaming.scrub_stream import (
+    read_pages_stream,
+    scrub_stream,
+    windowed_metrics,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--metrics", default=None,
+                   help="optional path for the windowed metrics stream")
+    p.add_argument("--dedup", action="store_true",
+                   help="near-dup dedup upstream of the scrub")
+    p.add_argument("--state-ttl-hours", type=int, default=24,
+                   help="dedup state TTL for CONTINUOUS runs; ignored "
+                        "under --available-now (timers would keep the "
+                        "drained query alive forever)")
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain existing files and exit (cron-style)")
+    p.add_argument("--timeout-sec", type=int, default=0,
+                   help="stop after N seconds (0 = run forever)")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def run(args, spark=None) -> dict:
+    owns = spark is None
+    if owns:
+        spark = build_session("pii-scrub-stream", master=args.master)
+    queries = []
+    try:
+        pages = read_pages_stream(
+            spark, args.input,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        if args.dedup:
+            from incident_pii_redactor_spark.streaming.neardup_stream import (
+                streaming_neardup_dedup,
+            )
+
+            ttl = 0 if args.available_now else \
+                args.state_ttl_hours * 3600 * 1000
+            pages = streaming_neardup_dedup(pages, ttl_ms=ttl)
+        scrubbed = scrub_stream(pages)
+
+        def start(df, path, ckpt_suffix, mode="append"):
+            w = (
+                df.writeStream.format("parquet")
+                .outputMode(mode)
+                .option("path", path)
+                .option("checkpointLocation",
+                        f"{args.checkpoint}/{ckpt_suffix}")
+            )
+            if args.available_now:
+                w = w.trigger(availableNow=True)
+            return w.start()
+
+        queries.append(start(scrubbed, args.output, "scrub"))
+        if args.metrics:
+            # append mode: closed windows emit once the watermark passes
+            queries.append(
+                start(windowed_metrics(scrubbed), args.metrics, "metrics")
+            )
+        for q in queries:
+            q.awaitTermination(args.timeout_sec or None)
+            if args.timeout_sec:
+                q.stop()
+        return {"queries": len(queries)}
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    print(run(parse_args()))

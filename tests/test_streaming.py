@@ -124,3 +124,24 @@ def test_streaming_neardup_dedup(spark, tmp_path_factory):
     q.awaitTermination(180)
     got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
     assert got == {"u1", "u2", "u3", "u4", "u8"}
+
+
+def test_stream_scrub_job_cli(spark, stream_dir, tmp_path_factory):
+    """jobs/stream_scrub.py end-to-end with --available-now: drains the
+    landing dir through (optional) dedup + scrub into parquet with a
+    checkpoint; rerunning is a no-op (exactly-once via commit log)."""
+    from jobs.stream_scrub import parse_args as sargs, run as srun
+
+    d = tmp_path_factory.mktemp("stream_job")
+    base = ["--input", stream_dir, "--output", str(d / "out"),
+            "--checkpoint", str(d / "ckpt"), "--metrics", str(d / "metrics"),
+            "--dedup", "--available-now"]
+    got = srun(sargs(base), spark=spark)
+    assert got["queries"] == 2
+    out = spark.read.parquet(str(d / "out"))
+    n1 = out.count()
+    assert 0 < n1 <= 300  # dedup may drop near-dups across the two files
+    assert out.filter("keep and n_redactions > 0").count() > 0
+    # rerun: nothing new to process -> no duplicates
+    srun(sargs(base), spark=spark)
+    assert spark.read.parquet(str(d / "out")).count() == n1
