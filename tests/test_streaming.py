@@ -33,6 +33,7 @@ def test_stream_scrub_end_to_end(spark, stream_dir, tmp_path_factory):
         .start()
     )
     q.awaitTermination(180)
+    assert not q.isActive  # availableNow must TERMINATE (timer-bug guard)
     got = spark.read.parquet(str(out_dir / "data"))
     assert got.count() == 300
     assert got.filter("keep and n_redactions > 0").count() > 0
@@ -51,6 +52,7 @@ def test_windowed_metrics_stream(spark, stream_dir):
         .start()
     )
     q.awaitTermination(180)
+    assert not q.isActive
     m = spark.sql("select * from scrub_metrics").toPandas()
     # warc_ts ramps 1 s/row from a fixed epoch -> multiple 1-min windows
     assert len(m) >= 3
@@ -122,6 +124,7 @@ def test_streaming_neardup_dedup(spark, tmp_path_factory):
         .start()
     )
     q.awaitTermination(180)
+    assert not q.isActive
     got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
     assert got == {"u1", "u2", "u3", "u4", "u8"}
 
