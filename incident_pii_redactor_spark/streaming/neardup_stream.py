@@ -104,8 +104,10 @@ def streaming_neardup_dedup(
     max_kept: int = 16,
     ttl_ms: int = 0,
 ) -> DataFrame:
-    """First occurrence per near-dup class across the stream (within the
-    state TTL). Input: streaming DataFrame with url/warc_ts/text."""
+    """First occurrence per near-dup class across the stream. Input:
+    streaming DataFrame with url/warc_ts/text. ``ttl_ms=0`` (default) =
+    unbounded state, terminates under availableNow; positive = state TTL
+    for continuously-triggered deployments (see module docstring)."""
     sig = minhash_signature(text_col, n=n, n_perm=n_perm)
     sig_str = F.array_join(F.transform(sig, lambda v: v.cast("string")), "|")
     band = F.array_join(

@@ -40,7 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--state-ttl-hours", type=int, default=24,
                    help="dedup state TTL for CONTINUOUS runs; ignored "
                         "under --available-now (timers would keep the "
-                        "drained query alive forever)")
+                        "drained query alive forever). NB repeated "
+                        "--available-now cron runs therefore accumulate "
+                        "dedup state across runs with no eviction — "
+                        "start a fresh --checkpoint periodically to "
+                        "compact (dropping cross-run dedup memory), or "
+                        "run continuously with a TTL")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--available-now", action="store_true",
                    help="drain existing files and exit (cron-style)")
@@ -88,10 +93,18 @@ def run(args, spark=None) -> dict:
             queries.append(
                 start(windowed_metrics(scrubbed), args.metrics, "metrics")
             )
-        for q in queries:
-            q.awaitTermination(args.timeout_sec or None)
-            if args.timeout_sec:
+        if args.available_now:
+            for q in queries:  # each terminates on drain
+                q.awaitTermination()
+        elif args.timeout_sec:
+            # awaitAnyTermination: a failure in EITHER query surfaces
+            # immediately (sequential per-query waits would both mask a
+            # dead metrics stream and run the job up to 2x the timeout)
+            spark.streams.awaitAnyTermination(args.timeout_sec * 1000)
+            for q in queries:
                 q.stop()
+        else:
+            spark.streams.awaitAnyTermination()  # raises on query failure
         return {"queries": len(queries)}
     finally:
         if owns:

@@ -108,6 +108,7 @@ def test_streaming_checkpoint_recovery(spark, tmp_path_factory):
     # restart from checkpoint; availableNow drains the rest
     q2 = start()
     q2.awaitTermination(180)
+    assert not q2.isActive  # availableNow must TERMINATE (timer-bug guard)
     got = spark.read.parquet(str(out / "data"))
     assert got.count() == 200  # reads via the sink's _spark_metadata commit log
     # exactly-once: a replayed batch would produce full-row duplicates

@@ -40,6 +40,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(180)
+    assert not q.isActive  # availableNow must TERMINATE (timer-bug guard)
     got = {r.url: r.text for r in spark.sql("select * from dedup_out").collect()}
     # first-seen per fingerprint only: /1 (not /2, /4), /3, /5
     assert set(got) == {"https://a/1", "https://a/3", "https://a/5"}

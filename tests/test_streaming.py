@@ -145,6 +145,12 @@ def test_stream_scrub_job_cli(spark, stream_dir, tmp_path_factory):
     n1 = out.count()
     assert 0 < n1 <= 300  # dedup may drop near-dups across the two files
     assert out.filter("keep and n_redactions > 0").count() > 0
+    # metrics query really ran and committed (append-mode window rows may
+    # legitimately be withheld by the watermark on a single-batch drain,
+    # so assert on the checkpoint commit log, not row counts)
+    import os
+
+    assert os.path.exists(str(d / "ckpt" / "metrics" / "commits" / "0"))
     # rerun: nothing new to process -> no duplicates
     srun(sargs(base), spark=spark)
     assert spark.read.parquet(str(d / "out")).count() == n1
