@@ -14,15 +14,21 @@ dedup-by-arbitrary-expression with TTL'd state, so this is the canonical
   O(stream))
 * output = only the first row per fingerprint.
 
-``ttl_ms`` semantics (round-2 fix): registering processing-time timers
-makes ``Trigger.AvailableNow`` queries NEVER terminate — Spark keeps
+TTL semantics (round-2 fix): registering processing-time timers makes
+``Trigger.AvailableNow`` queries NEVER terminate — Spark keeps
 scheduling ~0.8 s empty microbatches to service the pending timers
 (measured 200+ empty batches; round-1 tests masked this by reading
 committed output after an awaitTermination timeout while the query kept
-burning CPU). Pass ``ttl_ms=0`` (NoTimeout) for drain-style/bounded
-runs — the same 150-row batch then terminates in ~7 s — and a positive
-TTL only for continuously-running deployments, where triggers keep
-coming anyway and the TTL is what bounds state memory.
+burning CPU). Three modes:
+
+* ``event_ttl_ms > 0`` (recommended): EVENT-time TTL — a watermark on
+  the timestamp column drives eviction, so state is bounded to the TTL
+  window of event time AND drained queries terminate (measured ~11 s for
+  the same batch that hung forever with processing-time timers). Works
+  for continuous AND repeated availableNow (cron) deployments: each
+  run's new data advances the watermark and evicts old buckets.
+* ``ttl_ms > 0``: processing-time TTL — continuous deployments only.
+* both 0: NoTimeout — unbounded state, bounded/drain runs.
 
 State store scaling: keys are uniform hashes, so the state shuffle has no
 skew; RocksDB state backend handles spill on real clusters.
@@ -42,7 +48,24 @@ from incident_pii_redactor_spark.functions.text import fingerprint
 STATE_SCHEMA = "seen boolean"
 
 
-def _make_emit_first(ttl_ms: int):
+def _set_ttl(state: GroupState, ttl_ms: int, event_ttl_ms: int) -> None:
+    if event_ttl_ms > 0:
+        # evict when the watermark passes (now + TTL) in EVENT time
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                  + event_ttl_ms)
+    elif ttl_ms > 0:
+        state.setTimeoutDuration(ttl_ms)
+
+
+def _timeout_conf(ttl_ms: int, event_ttl_ms: int):
+    if event_ttl_ms > 0:
+        return GroupStateTimeout.EventTimeTimeout
+    if ttl_ms > 0:
+        return GroupStateTimeout.ProcessingTimeTimeout
+    return GroupStateTimeout.NoTimeout
+
+
+def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
     def emit_first(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -74,28 +97,30 @@ def _make_emit_first(ttl_ms: int):
             for _ in pdfs:  # drain the iterator; nothing to emit
                 pass
         state.update((True,))
-        if ttl_ms > 0:
-            state.setTimeoutDuration(ttl_ms)
+        _set_ttl(state, ttl_ms, event_ttl_ms)
 
     return emit_first
 
 
 def streaming_exact_dedup(pages: DataFrame, text_col: str = "text",
-                          ttl_ms: int = 0) -> DataFrame:
+                          ttl_ms: int = 0, event_ttl_ms: int = 0,
+                          ts_col: str = "warc_ts",
+                          watermark_delay: str = "10 minutes") -> DataFrame:
     """First occurrence per content fingerprint across the whole stream.
-    Input: streaming DataFrame with url/text. ``ttl_ms=0`` (default) =
-    unbounded state, terminates under availableNow; positive = state TTL
-    for continuous deployments (see module docstring)."""
+    Input: streaming DataFrame with url/text[/ts_col]. TTL modes: see
+    module docstring — ``event_ttl_ms`` (event-time, recommended),
+    ``ttl_ms`` (processing-time, continuous only), both 0 = unbounded."""
+    if event_ttl_ms > 0:
+        pages = pages.withWatermark(ts_col, watermark_delay)
     keyed = pages.withColumn("_fp", fingerprint(text_col))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pages.schema.fields
     )
     return keyed.groupBy("_fp").applyInPandasWithState(
-        _make_emit_first(ttl_ms),
+        _make_emit_first(ttl_ms, event_ttl_ms),
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if ttl_ms > 0
-                     else GroupStateTimeout.NoTimeout),
+        timeoutConf=_timeout_conf(ttl_ms, event_ttl_ms),
     )

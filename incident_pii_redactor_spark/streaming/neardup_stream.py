@@ -25,11 +25,11 @@ Design — single-band key + full-signature verification:
   routed to an exact-fingerprint key (``_short:md5(text)``) instead, so
   they still dedup exactly but can never near-dup-collide with each
   other (the batch path filters them for the same reason).
-* ``ttl_ms=0`` (default) disables the state timer: processing-time
-  timers make availableNow queries run empty microbatches forever (see
-  dedup_stream module docstring for the measurement); use a positive
-  TTL only in continuously-triggered deployments, where it bounds state
-  memory to O(buckets within the TTL window).
+* TTL modes (shared with dedup_stream — see its module docstring for the
+  availableNow timer measurement): ``event_ttl_ms`` (event-time,
+  watermark-driven — bounds state AND terminates drained queries; the
+  right default for cron-style repeated drains), ``ttl_ms``
+  (processing-time — continuous deployments only), both 0 = NoTimeout.
 """
 
 from __future__ import annotations
@@ -40,11 +40,15 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
 from incident_pii_redactor_spark.functions.dedup import (
     _MH_P,
     minhash_signature,
+)
+from incident_pii_redactor_spark.streaming.dedup_stream import (
+    _set_ttl,
+    _timeout_conf,
 )
 
 STATE_SCHEMA = "sigs string"
@@ -55,7 +59,8 @@ def _agreement(a: list[str], b: list[str]) -> float:
     return sum(x == y for x, y in zip(a, b)) / max(len(a), 1)
 
 
-def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int):
+def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int,
+                   event_ttl_ms: int = 0):
     def dedup_group(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -88,8 +93,7 @@ def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int):
             if emit:
                 yield batch.iloc[emit].drop(columns=["_sig", "_key"])
         state.update((_SIG_SEP.join("|".join(s) for s in kept),))
-        if ttl_ms > 0:
-            state.setTimeoutDuration(ttl_ms)
+        _set_ttl(state, ttl_ms, event_ttl_ms)
 
     return dedup_group
 
@@ -103,11 +107,16 @@ def streaming_neardup_dedup(
     threshold: float = 0.5,
     max_kept: int = 16,
     ttl_ms: int = 0,
+    event_ttl_ms: int = 0,
+    ts_col: str = "warc_ts",
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """First occurrence per near-dup class across the stream. Input:
-    streaming DataFrame with url/warc_ts/text. ``ttl_ms=0`` (default) =
-    unbounded state, terminates under availableNow; positive = state TTL
-    for continuously-triggered deployments (see module docstring)."""
+    streaming DataFrame with url/warc_ts/text. TTL modes: see module
+    docstring — ``event_ttl_ms`` (event-time, recommended), ``ttl_ms``
+    (processing-time, continuous only), both 0 = unbounded state."""
+    if event_ttl_ms > 0:
+        pages = pages.withWatermark(ts_col, watermark_delay)
     sig = minhash_signature(text_col, n=n, n_perm=n_perm)
     sig_str = F.array_join(F.transform(sig, lambda v: v.cast("string")), "|")
     band = F.array_join(
@@ -126,10 +135,9 @@ def streaming_neardup_dedup(
         f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
     )
     return keyed.groupBy("_key").applyInPandasWithState(
-        _make_group_fn(threshold, max_kept, ttl_ms),
+        _make_group_fn(threshold, max_kept, ttl_ms, event_ttl_ms),
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if ttl_ms > 0
-                     else GroupStateTimeout.NoTimeout),
+        timeoutConf=_timeout_conf(ttl_ms, event_ttl_ms),
     )

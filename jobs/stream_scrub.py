@@ -38,14 +38,13 @@ def parse_args(argv=None):
     p.add_argument("--dedup", action="store_true",
                    help="near-dup dedup upstream of the scrub")
     p.add_argument("--state-ttl-hours", type=int, default=24,
-                   help="dedup state TTL for CONTINUOUS runs; ignored "
-                        "under --available-now (timers would keep the "
-                        "drained query alive forever). NB repeated "
-                        "--available-now cron runs therefore accumulate "
-                        "dedup state across runs with no eviction — "
-                        "start a fresh --checkpoint periodically to "
-                        "compact (dropping cross-run dedup memory), or "
-                        "run continuously with a TTL")
+                   help="dedup state TTL in EVENT time (watermark-driven "
+                        "eviction): bounds state for continuous AND "
+                        "repeated --available-now cron runs — each run's "
+                        "new data advances the watermark and evicts "
+                        "buckets older than the TTL. 0 = unbounded state "
+                        "(never use processing-time timers here: they "
+                        "keep drained queries alive forever)")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--available-now", action="store_true",
                    help="drain existing files and exit (cron-style)")
@@ -70,9 +69,9 @@ def run(args, spark=None) -> dict:
                 streaming_neardup_dedup,
             )
 
-            ttl = 0 if args.available_now else \
-                args.state_ttl_hours * 3600 * 1000
-            pages = streaming_neardup_dedup(pages, ttl_ms=ttl)
+            pages = streaming_neardup_dedup(
+                pages, event_ttl_ms=args.state_ttl_hours * 3600 * 1000
+            )
         scrubbed = scrub_stream(pages)
 
         def start(df, path, ckpt_suffix, mode="append"):

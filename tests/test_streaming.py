@@ -154,3 +154,61 @@ def test_stream_scrub_job_cli(spark, stream_dir, tmp_path_factory):
     # rerun: nothing new to process -> no duplicates
     srun(sargs(base), spark=spark)
     assert spark.read.parquet(str(d / "out")).count() == n1
+
+
+def test_event_time_ttl_evicts_dedup_state(spark, tmp_path_factory):
+    """Event-time TTL: once the watermark passes a bucket's (event time +
+    TTL), its state evicts — a later duplicate is treated as first-seen
+    again. Without a TTL the duplicate stays suppressed. Queries must
+    still terminate under availableNow (the whole point vs
+    processing-time timers)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    text_a = "a perfectly ordinary document about rivers and hills"
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+
+    def mk(which, rows):
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                        "lang"]),
+            schema=schema, preserve_index=False), which)
+
+    def run(d, **kw):
+        # 4 single-row microbatches: A, two watermark-advancers (the 2nd
+        # fires A's timer — timeouts are evaluated against the PREVIOUS
+        # batch's watermark), then the duplicate of A
+        mk(f"{d}/b0.parquet", [("u1", t0, b"", text_a, "en")])
+        mk(f"{d}/b1.parquet", [("u2", t0 + dt.timedelta(hours=2), b"",
+                                "unrelated words advancing the clock", "en")])
+        mk(f"{d}/b2.parquet", [("u3", t0 + dt.timedelta(hours=4), b"",
+                                "more unrelated words moving time on", "en")])
+        mk(f"{d}/b3.parquet", [("u4", t0 + dt.timedelta(hours=6), b"",
+                                text_a, "en")])
+        pages = (spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string").option("maxFilesPerTrigger", 1).parquet(d))
+        q = (streaming_exact_dedup(pages, **kw)
+             .writeStream.format("parquet").option("path", f"{d}/out")
+             .option("checkpointLocation", f"{d}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert not q.isActive
+        return {r.url for r in spark.read.parquet(f"{d}/out").collect()}
+
+    with_ttl = run(str(tmp_path_factory.mktemp("ttl")),
+                   event_ttl_ms=3600 * 1000)
+    assert with_ttl == {"u1", "u2", "u3", "u4"}  # u4 re-emitted: evicted
+
+    no_ttl = run(str(tmp_path_factory.mktemp("nottl")))
+    assert no_ttl == {"u1", "u2", "u3"}  # u4 suppressed: state kept
