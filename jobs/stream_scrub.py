@@ -88,10 +88,26 @@ def run(args, spark=None) -> dict:
 
         queries.append(start(scrubbed, args.output, "scrub"))
         if args.metrics:
-            # append mode: closed windows emit once the watermark passes
-            queries.append(
-                start(windowed_metrics(scrubbed), args.metrics, "metrics")
-            )
+            # metrics read the scrub query's COMMITTED output (the file
+            # source honors the sink's _spark_metadata log, so this chain
+            # is exactly-once) instead of sharing the scrub lineage:
+            # with --dedup that lineage contains a stateful operator, and
+            # stateful-op -> windowed-agg in ONE query trips Spark's
+            # global-watermark correctness check (late rows from the
+            # first stateful op could be silently dropped downstream)
+            def metrics_query():
+                out_stream = spark.readStream.schema(scrubbed.schema) \
+                    .parquet(args.output)
+                return start(windowed_metrics(out_stream), args.metrics,
+                             "metrics")
+
+            if args.available_now:
+                # drain sequentially so the metrics pass sees this run's
+                # committed scrub output, not a pre-run snapshot
+                queries[0].awaitTermination()
+                queries.append(metrics_query())
+            else:
+                queries.append(metrics_query())
         if args.available_now:
             for q in queries:  # each terminates on drain
                 q.awaitTermination()
