@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -271,50 +273,74 @@ def jaccard_on_pairs(
 
 # --- SimHash ----------------------------------------------------------------
 
-def simhash64(text_col: str = "text") -> Column:
-    """64-bit SimHash over word unigrams, pure Catalyst expressions:
-    per-word 64-bit hash = first 16 hex chars of md5(word) (DuckDB-twin-able);
-    signature bit b = majority vote of word-hash bit b, weight 1 per word.
+def simhash64(text_col: str | Column = "text") -> Column:
+    """60-bit SimHash over word unigrams: per-word hash = first 15 hex
+    chars of md5(word) as an int (DuckDB-twin-able); signature bit b =
+    majority vote (ties set the bit) of word-hash bit b, weight 1/word.
 
-    Implemented as 64 aggregate expressions over the word array — heavier
-    to compile than a pandas UDF but fully codegen'd and shuffle-free."""
-    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
-                    .cast("decimal(20,0)").cast("long"))
-    nwords = F.size(h)
+    Single-pass Arrow-batched implementation (round-3 rewrite): one
+    hashlib md5 per word + a numpy bit-count vote per doc. The round-2
+    Catalyst form built 60 separate filter+size aggregate expressions,
+    and CollapseProject inlined the per-word md5 into each — 60x the
+    hashing work (measured 16.5 s for 5k docs at sf0.1; this version is
+    well under 1 s). The integers are bit-identical to the DuckDB twin
+    ``('0x' || substr(md5(x),1,15))::BIGINT`` — hashlib md5 of the UTF-8
+    word bytes, exactly as Spark's ``F.md5`` hashed them.
 
-    def bit_test(mask: int):
-        # closure factory (not `lambda v, b=b`) — see minhash_signature note
-        return lambda v: v.bitwiseAND(F.lit(mask)) != 0
+    Word split matches ``F.split(text, ' ')`` + non-empty filter
+    (Java ``split`` keeps interior/trailing empties; so does Python's
+    ``str.split(' ')`` — both are then filtered). NULL/empty text -> 0,
+    matching the old expression's ``otherwise(0)``."""
+    import hashlib
 
-    bits = []
-    for b in range(60):  # 15 hex chars = 60 bits
-        ones = F.size(F.filter(h, bit_test(1 << b)))
-        bits.append(
-            F.when(ones * 2 >= nwords, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    out = bits[0]
-    for bit in bits[1:]:
-        out = out.bitwiseOR(bit)
-    return F.when(nwords > 0, out).otherwise(F.lit(0).cast("long"))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(60, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:  # None or "" -> 0
+                continue
+            words = [w for w in t.split(" ") if w]
+            if not words:
+                continue
+            h = np.fromiter(
+                (int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                 for w in words),
+                dtype=np.uint64, count=len(words),
+            )
+            # (n_words, 60) bit matrix -> per-bit ones count; docs are
+            # short (web pages), so the matrix stays small per doc
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            bits = (2 * ones >= len(words)).astype(np.uint64)
+            out[i] = int((bits << shifts).sum(dtype=np.uint64))
+        return pd.Series(out)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _simhash(c)
 
 
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", bands: int = 4) -> DataFrame:
     """(id, simhash, band_id, band_key) — near-dups (Hamming distance
-    < bands) share at least one 15-bit band."""
+    < bands) share at least one 15-bit band.
+
+    One explode over a per-row band array (not a ``bands``-way unionAll:
+    union branches each re-evaluate the signature UDF — bands x the
+    hashing; the UDF here runs once per doc, the fan-out is Catalyst)."""
     sig = df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
     width = 60 // bands
-    rows = [
-        sig.select(
-            id_col, "simhash", F.lit(b).alias("band_id"),
-            F.shiftright("simhash", b * width)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return sig.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_key")
