@@ -1,0 +1,59 @@
+"""Round-3 regression net (VERDICT round-2 item 3): physical-plan
+assertions over EVERY ``__spark_entry__.queries()`` entry.
+
+The correctness gate proves each query's VALUES; this sweep proves each
+query's PLAN survives a 100x scale-up: no nested-loop/cartesian join may
+appear anywhere in the registry (the one documented exception is the
+cardinality-guarded all-pairs oracle), and no parquet scan may read an
+``html`` payload column (the single heaviest column in a web-pages
+table; the scrub path's pruning is separately pinned in
+test_spark_parity.py).
+
+Runs at sf0.001 — plan shape is scale-invariant, the data only feeds the
+few queries that execute a driver-side lookup (query vectors, the
+signature checkpoint) while building the plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+# the intentionally-quadratic exact oracle, refused above
+# _EMB_ALLPAIRS_CAP vectors (see __spark_entry__._check_allpairs_cap)
+ALLPAIRS_ORACLE = {"emb_near_dup_pairs"}
+
+_FORBIDDEN_JOINS = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_every_driver_query_plan_is_scale_shaped(spark):
+    import __spark_entry__ as entry
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if name not in ALLPAIRS_ORACLE:
+            problems += [j for j in _FORBIDDEN_JOINS if j in plan]
+        problems += [
+            f"scan reads html: {m}"
+            for m in re.findall(r"ReadSchema: struct<[^\n]*", plan)
+            if re.search(r"[<,]html:", m)
+        ]
+        if problems:
+            offenders[name] = problems
+    assert not offenders, f"scale-hostile plans: {offenders}"
+
+
+def test_allpairs_oracle_is_capped():
+    """The one allowlisted O(n^2) plan must refuse large corpora."""
+    import __spark_entry__ as entry
+
+    entry._check_allpairs_cap(entry._EMB_ALLPAIRS_CAP)  # at cap: fine
+    try:
+        entry._check_allpairs_cap(entry._EMB_ALLPAIRS_CAP + 1)
+    except ValueError as e:
+        assert "emb_near_dup_pairs_lsh" in str(e) or "banded" in str(e)
+    else:
+        raise AssertionError("cap did not raise")
