@@ -1,17 +1,30 @@
-"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+"""Round benchmark: every driver query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
 quality+scrub pass over a 200k-page synthetic web corpus (cached across
 runs — generation is excluded from timings).
 
+Round-3 harness (VERDICT round-2 item 2): per-FAMILY fresh-JVM timing,
+best-of-N per query with every sample recorded. Round 2 timed all 50
+queries once each inside one long-lived JVM, which made cross-round
+diffs unfalsifiable on this 2-3x-noise shared host (the r01->r02
+"doc_simhash regression" was unprovable either way). Now each query
+family gets its own JVM (no cross-family JIT/GC/session-state bleed)
+and each query runs BENCH_N (default 3) times; the JSON carries
+``samples: {query: {best, n, all}}`` so later rounds can diff
+best-vs-best with the spread visible.
+
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "scrub_docs_per_sec": N}
+   "queries": {name: best_sec, ...},
+   "samples": {name: {"best": s, "n": N, "all": [...]}, ...},
+   "sf": <sf>, "scrub_docs_per_sec": N, ...}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,11 +33,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("BENCH_PAGES_N", "200000"))
+BENCH_N = int(os.environ.get("BENCH_N", "3"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
-# every driver query is benched (VERDICT round-1 item #9: per-query
-# tracking so later rounds can diff regressions query-by-query)
+_DEDUP_KEYS = ("minhash", "jaccard", "simhash", "winnow", "exact_dup",
+               "kmv", "boilerplate")
+
+
+def family_of(name: str) -> str:
+    """Stable query -> JVM-family assignment (one fresh JVM per family)."""
+    if name == "scrub_documents":
+        return "scrub"
+    if name.startswith("emb_"):
+        return "emb"
+    if name.startswith("doc_") and any(k in name for k in _DEDUP_KEYS):
+        return "dedup"
+    if name.startswith("doc_"):
+        return "doctext"
+    if name.startswith("events") or name == "user_sessions":
+        return "events"
+    if name[0] == "q" and name[1].isdigit():
+        return "tpch"
+    return "sql"
 
 
 def pages_path(n_shards: int = 32, size_mult: int = 1, rows: int | None = None) -> str:
@@ -63,55 +94,111 @@ def pages_path(n_shards: int = 32, size_mult: int = 1, rows: int | None = None) 
     return path
 
 
-def main() -> None:
-    import __spark_entry__ as entrymod
-    from incident_pii_redactor_spark.operators import quality_scrub
+def _fresh_session():
     from incident_pii_redactor_spark.plans import build_session
 
-    ppath = pages_path()
-    large_rows = max(PAGES_N // 10, 1000)
-    lpath = pages_path(size_mult=6, rows=large_rows)  # ~4 KB/doc (CC-realistic)
     spark = build_session("bench", master=f"local[{CPUS}]",
                           shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-
     # warm the JVM and start the Python worker pool once (excluded from
     # timings — we measure steady-state throughput, not process cold start)
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
     warm = spark.range(CPUS * 4).repartition(CPUS)
     warm.mapInPandas(lambda it: it, "id long").count()
+    return spark
 
-    for name in qs:  # registry order groups query families
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
 
-    # flagship web-scale pass: fused quality+scrub over the sharded corpus.
-    # best-of-2: this sandbox VM's throughput swings 2-3x between identical
-    # runs (shared host), so a single sample misrepresents the engine.
-    pages = spark.read.parquet(ppath)
-    scrub_sec = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        n_rows = quality_scrub(pages).count()
-        scrub_sec = min(scrub_sec, round(time.time() - t0, 3))
-    timings[f"scrub_pages_{PAGES_N // 1000}k"] = scrub_sec
+def run_family(fam: str) -> None:
+    """Child-process entry: time this family's queries in a fresh JVM,
+    best-of-BENCH_N each, print one JSON line."""
+    import __spark_entry__ as entrymod
 
-    # realistic-page-size corpus: report byte throughput too (the unit that
-    # matters at 100 TB); 1/10th the rows at ~6x the bytes per row
-    large = spark.read.parquet(lpath)
-    n_large = large.count()
-    large_bytes = large.selectExpr("sum(octet_length(text))").head()[0]
-    large_sec = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        quality_scrub(large).count()
-        large_sec = min(large_sec, round(time.time() - t0, 3))
-    timings["scrub_pages_4kb"] = large_sec
+    spark = _fresh_session()
+    samples: dict[str, dict] = {}
+    extra: dict[str, float] = {}
 
+    if fam == "pages":
+        from incident_pii_redactor_spark.operators import quality_scrub
+
+        ppath = pages_path()
+        large_rows = max(PAGES_N // 10, 1000)
+        lpath = pages_path(size_mult=6, rows=large_rows)  # ~4 KB/doc
+        pages = spark.read.parquet(ppath)
+        all_t = []
+        n_rows = 0
+        for _ in range(2):
+            t0 = time.time()
+            n_rows = quality_scrub(pages).count()
+            all_t.append(round(time.time() - t0, 3))
+        samples[f"scrub_pages_{PAGES_N // 1000}k"] = {
+            "best": min(all_t), "n": len(all_t), "all": all_t}
+        extra["scrub_docs_per_sec"] = round(n_rows / min(all_t), 1)
+        extra["scrub_rows"] = n_rows
+
+        large = spark.read.parquet(lpath)
+        n_large = large.count()
+        large_bytes = large.selectExpr("sum(octet_length(text))").head()[0]
+        all_t = []
+        for _ in range(2):
+            t0 = time.time()
+            quality_scrub(large).count()
+            all_t.append(round(time.time() - t0, 3))
+        samples["scrub_pages_4kb"] = {
+            "best": min(all_t), "n": len(all_t), "all": all_t}
+        extra["scrub_4kb_docs_per_sec"] = round(n_large / min(all_t), 1)
+        extra["scrub_4kb_mb_per_sec"] = round(
+            large_bytes / 1e6 / min(all_t), 1)
+    else:
+        qs = entrymod.queries()
+        for name in qs:
+            if family_of(name) != fam:
+                continue
+            all_t = []
+            for _ in range(BENCH_N):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).count()
+                all_t.append(round(time.time() - t0, 3))
+            samples[name] = {"best": min(all_t), "n": len(all_t),
+                             "all": all_t}
+
+    print(json.dumps({"family": fam, "samples": samples, "extra": extra}))
+    spark.stop()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    if PAGES_N >= 100000:  # generate corpora once, outside any timing
+        pages_path()
+        pages_path(size_mult=6, rows=max(PAGES_N // 10, 1000))
+
+    fams: list[str] = []
+    for name in entrymod.queries():
+        f = family_of(name)
+        if f not in fams:
+            fams.append(f)
+    fams.append("pages")
+
+    samples: dict[str, dict] = {}
+    extra: dict[str, float] = {}
+    here = os.path.abspath(__file__)
+    for fam in fams:
+        out = subprocess.run(
+            [sys.executable, here, "--family", fam],
+            capture_output=True, text=True, env=os.environ,
+        )
+        line = next(
+            (ln for ln in reversed(out.stdout.splitlines())
+             if ln.startswith("{")), None)
+        if out.returncode != 0 or line is None:
+            print(f"family {fam} FAILED:\n{out.stderr[-2000:]}",
+                  file=sys.stderr)
+            continue
+        got = json.loads(line)
+        samples.update(got["samples"])
+        extra.update(got["extra"])
+
+    timings = {name: s["best"] for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,17 +207,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-                "scrub_docs_per_sec": round(n_rows / scrub_sec, 1),
-                "scrub_rows": n_rows,
-                "scrub_4kb_docs_per_sec": round(n_large / large_sec, 1),
-                "scrub_4kb_mb_per_sec": round(large_bytes / 1e6 / large_sec, 1),
+                **extra,
                 "cpus": CPUS,
+                "bench_n": BENCH_N,
+                "fresh_jvm_per_family": True,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--family":
+        run_family(sys.argv[2])
+    else:
+        main()
