@@ -48,13 +48,33 @@ from incident_pii_redactor_spark.functions.text import fingerprint
 STATE_SCHEMA = "seen boolean"
 
 
-def _set_ttl(state: GroupState, ttl_ms: int, event_ttl_ms: int) -> None:
+def _set_ttl(state: GroupState, ttl_ms: int, event_ttl_ms: int,
+             max_event_ms: int = 0) -> None:
     if event_ttl_ms > 0:
-        # evict when the watermark passes (now + TTL) in EVENT time
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
-                                  + event_ttl_ms)
+        # Evict when the watermark passes (group's event time + TTL).
+        # Anchoring on the group's own max event timestamp — not the
+        # current watermark — matters on a fresh query (ADVICE round 2):
+        # batch 0's watermark is 0, so a watermark-anchored timeout lands
+        # near epoch+TTL and batch 1 evicts every first-batch key,
+        # re-emitting duplicates that arrive WITHIN the TTL. The max()
+        # keeps the timestamp legal (it must exceed the watermark) when
+        # late data carries an event time the watermark already passed.
+        anchor = max(int(max_event_ms), state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(anchor + event_ttl_ms)
     elif ttl_ms > 0:
         state.setTimeoutDuration(ttl_ms)
+
+
+def _max_event_ms(pdf: pd.DataFrame, ts_col: str = "warc_ts") -> int:
+    """Max event time of a chunk in epoch ms (0 if absent/all-null).
+    Session timezone is UTC (plans/session.py), so naive pandas
+    timestamps are epoch-correct."""
+    if ts_col not in pdf.columns or not len(pdf):
+        return 0
+    m = pdf[ts_col].max()
+    if pd.isna(m):
+        return 0
+    return int(pd.Timestamp(m).value // 1_000_000)
 
 
 def _timeout_conf(ttl_ms: int, event_ttl_ms: int):
@@ -73,6 +93,7 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
             state.remove()
             return
         already = state.exists and state.get[0]
+        max_ev = 0  # group's max event time anchors the TTL (see _set_ttl)
         if not already:
             # deterministic representative across ALL Arrow chunks of the
             # group (large groups arrive as multiple chunks in shuffle-
@@ -84,6 +105,7 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
             for pdf in pdfs:
                 if not len(pdf):
                     continue
+                max_ev = max(max_ev, _max_event_ms(pdf))
                 keys = list(
                     zip(pdf["url"].fillna("").astype(str),
                         pdf["warc_ts"].astype(str))
@@ -94,10 +116,10 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
             if best is not None:
                 yield best.drop(columns=["_fp"])
         else:
-            for _ in pdfs:  # drain the iterator; nothing to emit
-                pass
+            for pdf in pdfs:  # drain; duplicates still refresh the TTL
+                max_ev = max(max_ev, _max_event_ms(pdf))
         state.update((True,))
-        _set_ttl(state, ttl_ms, event_ttl_ms)
+        _set_ttl(state, ttl_ms, event_ttl_ms, max_ev)
 
     return emit_first
 

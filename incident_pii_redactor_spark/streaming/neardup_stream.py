@@ -47,6 +47,7 @@ from incident_pii_redactor_spark.functions.dedup import (
     minhash_signature,
 )
 from incident_pii_redactor_spark.streaming.dedup_stream import (
+    _max_event_ms,
     _set_ttl,
     _timeout_conf,
 )
@@ -74,9 +75,11 @@ def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int,
         # microbatch's rows by (url, warc_ts) so the survivor set never
         # depends on shuffle chunk order
         rows = []
+        max_ev = 0  # group's max event time anchors the TTL (see _set_ttl)
         for pdf in pdfs:
             if len(pdf):
                 rows.append(pdf)
+                max_ev = max(max_ev, _max_event_ms(pdf))
         if rows:
             batch = pd.concat(rows, ignore_index=True)
             batch = batch.sort_values(
@@ -93,7 +96,7 @@ def _make_group_fn(threshold: float, max_kept: int, ttl_ms: int,
             if emit:
                 yield batch.iloc[emit].drop(columns=["_sig", "_key"])
         state.update((_SIG_SEP.join("|".join(s) for s in kept),))
-        _set_ttl(state, ttl_ms, event_ttl_ms)
+        _set_ttl(state, ttl_ms, event_ttl_ms, max_ev)
 
     return dedup_group
 

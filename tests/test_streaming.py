@@ -212,3 +212,12 @@ def test_event_time_ttl_evicts_dedup_state(spark, tmp_path_factory):
 
     no_ttl = run(str(tmp_path_factory.mktemp("nottl")))
     assert no_ttl == {"u1", "u2", "u3"}  # u4 suppressed: state kept
+
+    # ADVICE round-2 regression: the duplicate arrives 3 microbatches
+    # after first-seen but WITHIN the TTL (event gap 6 h < TTL 10 h) —
+    # it must stay suppressed. Under the old watermark-anchored timeout
+    # a fresh query's batch-0 keys got timestamps near epoch+TTL and
+    # were evicted by batch 1, wrongly re-emitting exactly this case.
+    within = run(str(tmp_path_factory.mktemp("ttlwithin")),
+                 event_ttl_ms=10 * 3600 * 1000)
+    assert within == {"u1", "u2", "u3"}  # u4 suppressed: TTL not reached
