@@ -112,6 +112,11 @@ def run(args, spark=None) -> dict:
             for q in queries:  # each terminates on drain
                 q.awaitTermination()
         elif args.timeout_sec:
+            # forget queries terminated BEFORE this run (a reused
+            # session's earlier drains would make awaitAnyTermination
+            # return immediately and stop these queries at t=0 —
+            # ADVICE round 2)
+            spark.streams.resetTerminated()
             # awaitAnyTermination: a failure in EITHER query surfaces
             # immediately (sequential per-query waits would both mask a
             # dead metrics stream and run the job up to 2x the timeout)
@@ -119,6 +124,7 @@ def run(args, spark=None) -> dict:
             for q in queries:
                 q.stop()
         else:
+            spark.streams.resetTerminated()  # same reused-session hazard
             spark.streams.awaitAnyTermination()  # raises on query failure
         return {"queries": len(queries)}
     finally:

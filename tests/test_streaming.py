@@ -221,3 +221,102 @@ def test_event_time_ttl_evicts_dedup_state(spark, tmp_path_factory):
     within = run(str(tmp_path_factory.mktemp("ttlwithin")),
                  event_ttl_ms=10 * 3600 * 1000)
     assert within == {"u1", "u2", "u3"}  # u4 suppressed: TTL not reached
+
+
+def test_streaming_neardup_multiband_recall(spark, tmp_path_factory):
+    """VERDICT round-2 item 6: a near-dup pair whose signatures collide
+    in a LATER band only (band 0 keys differ) must still be deduped —
+    the round-2 single-band operator keyed state on band 0 alone and
+    would have admitted both."""
+    import datetime as dt
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.functions.dedup import (
+        _MH_M,
+        _MH_P,
+        _mh_params,
+    )
+    from incident_pii_redactor_spark.streaming.neardup_stream import (
+        streaming_neardup_dedup,
+    )
+
+    n_perm, bands, rpb = 8, 4, 2
+    A, B = _mh_params(n_perm)
+
+    def sig(text):
+        words = text.split(" ")
+        shingles = [" ".join(words[i:i + 3])
+                    for i in range(len(words) - 2)]
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_M
+              for s in shingles]
+        return [min((A[i] * h + B[i]) % _MH_P for h in hs)
+                for i in range(n_perm)]
+
+    base_words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                  "juliet kilo lima mike november oscar papa quebec romeo "
+                  "sierra tango uniform victor whiskey xray yankee").split()
+    base = " ".join(base_words)
+    s_a = sig(base)
+
+    found = None
+    for pos in range(len(base_words)):
+        for j in range(4000):
+            cand_words = list(base_words)
+            cand_words[pos] = f"zz{j}"
+            cand = " ".join(cand_words)
+            s_b = sig(cand)
+            match = [s_a[i] == s_b[i] for i in range(n_perm)]
+            band_hit = [all(match[b * rpb:(b + 1) * rpb])
+                        for b in range(bands)]
+            # collide in band 3 ONLY; bands 0-2 keys all differ
+            if band_hit == [False, False, False, True]:
+                found = (cand, sum(match) / n_perm)
+                break
+        if found:
+            break
+    assert found, "no band-3-only collision found in search space"
+    partner, agreement = found
+
+    other = ("parquet shuffle broadcast join executor scheduler metrics "
+             "driver arrow batch codegen catalyst tungsten adaptive "
+             "skew salt bucket window watermark checkpoint lineage")
+
+    d = tmp_path_factory.mktemp("multiband")
+    ts = dt.datetime(2025, 1, 1)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                        "lang"]),
+            schema=schema, preserve_index=False), str(d / name))
+
+    write("b0.parquet", [("u1", ts, b"", base, "en"),
+                         ("u2", ts, b"", other, "en")])
+    write("b1.parquet", [("u3", ts, b"", partner, "en")])  # band-3-only dup
+
+    pages = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = tmp_path_factory.mktemp("multiband_out")
+    q = (
+        streaming_neardup_dedup(pages, threshold=agreement)
+        .writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
+    assert got == {"u1", "u2"}  # u3 dropped via its band-3 collision
