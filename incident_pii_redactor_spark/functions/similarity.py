@@ -191,12 +191,20 @@ def train_ivf_centroids(
     n_list: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """One-pass distributed IVF training: seed the coarse quantizer with
     sign-LSH buckets, then take each bucket's mean as its centroid (a
-    single k-means step — deterministic, one groupBy over the corpus).
-    Returns an (n_list', dim) float64 array collected to the driver
-    (tiny: n_list x dim), to be shipped in UDF closures."""
+    single k-means step — one groupBy over the corpus). Returns an
+    (n_list', dim) float64 array collected to the driver (tiny:
+    n_list x dim), to be shipped in UDF closures.
+
+    Each bucket's rows are sorted by ``id_col`` before the mean: numpy's
+    pairwise float summation is ORDER-sensitive, and shuffle-read order
+    is not guaranteed — without the sort, centroids (and everything
+    probed through them) could drift between runs at the ulp level.
+    Sorted, the whole pipeline is bit-deterministic, which is what lets
+    the driver gate check ``emb_ivf_ann`` against a golden fixture."""
     if dim is None:
         first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
         if first is None:
@@ -206,12 +214,13 @@ def train_ivf_centroids(
     bucket = signbit_bucket_udf(dim, n_planes, seed)
 
     def mean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_i")
         mat = np.stack(pdf["_v"].to_numpy())
         return pd.DataFrame({"_b": [int(pdf["_b"].iloc[0])],
                              "centroid": [mat.mean(axis=0).tolist()]})
 
     got = (
-        df.select(F.col(vec_col).alias("_v"))
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
         .withColumn("_b", bucket(F.col("_v")))
         .groupBy("_b")
         .applyInPandas(mean_group, schema="_b int, centroid array<double>")
@@ -258,7 +267,7 @@ def ivf_ann_topk(
     scans ~n_probe/n_list of the corpus; in production the assignment
     column is precomputed/partitioned-by so probing prunes whole files."""
     centroids = train_ivf_centroids(df, vec_col, n_list, seed,
-                                    dim=len(query_vec))
+                                    dim=len(query_vec), id_col=id_col)
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
     cn = centroids / np.maximum(

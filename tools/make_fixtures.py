@@ -145,6 +145,71 @@ def make_lsh_ann_fixture(sf_dir: str, out_path: str, k: int = 10,
     return len(top)
 
 
+def make_ivf_ann_fixture(sf_dir: str, out_path: str, k: int = 10,
+                         n_list: int = 16, n_probe: int = 4,
+                         seed: int = 42) -> int:
+    """Replay ``functions.similarity.ivf_ann_topk`` without Spark.
+    Bit-determinism rests on train_ivf_centroids sorting each bucket by
+    vec_id before the numpy mean (pairwise summation is order-sensitive)
+    — this replay uses the same numpy calls on the same sorted input, so
+    centroids, probe sets, assignments, and fold-cosines all match."""
+    import math
+
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.similarity import _hyperplanes
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    by_id = {int(r[0]): r[1] for r in rows}
+    qv = by_id[0]
+    dim = len(qv)
+    corpus = [(vid, v) for vid, v in sorted(by_id.items()) if vid != 0]
+
+    # --- train_ivf_centroids: sign-bucket, sort by id, numpy mean ---
+    n_planes = max(1, int(math.log2(n_list)))
+    planes = _hyperplanes(dim, n_planes, seed)
+    buckets: dict[int, list] = {}
+    for vid, vec in corpus:  # already vec_id-sorted
+        v = np.asarray(vec, dtype=np.float64)
+        signs = (v @ planes.T) > 0  # same matmul rule as signbit_bucket_udf
+        b = 0
+        for p in range(n_planes):
+            if signs[p]:
+                b |= 1 << p
+        buckets.setdefault(b, []).append(v)
+    centroids = np.array(
+        [np.stack(buckets[b]).mean(axis=0) for b in sorted(buckets)])
+
+    # --- ivf_ann_topk driver-side probe selection ---
+    qvn = np.asarray(qv, dtype=np.float64)
+    qn_unit = qvn / max(float(np.linalg.norm(qvn)), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probes = {int(i) for i in (cn @ qn_unit).argsort()[::-1][:n_probe]}
+
+    # --- assignment + exact fold-cosine scoring of probed lists ---
+    qn = fold_norm(qv)
+    scored = []
+    for vid, vec in corpus:
+        v = np.asarray(vec, dtype=np.float64)
+        vu = v / max(float(np.linalg.norm(v)), 1e-12)
+        if int((vu @ cn.T).argmax()) not in probes:
+            continue
+        cos = fold_dot(vec, qv) / (fold_norm(vec) * qn)
+        scored.append((vid, spark_round6(cos)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    top = scored[:k]
+    table = pa.table({
+        "vec_id": pa.array([t[0] for t in top], pa.int64()),
+        "cos_sim": pa.array([t[1] for t in top], pa.float64()),
+    })
+    pq.write_table(table, out_path)
+    return len(top)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -155,8 +220,11 @@ def main() -> None:
         sf_dir, os.path.join(out_dir, f"scrub_documents_{sf_tag}.parquet"))
     n2 = make_lsh_ann_fixture(
         sf_dir, os.path.join(out_dir, f"emb_lsh_ann_{sf_tag}.parquet"))
+    n3 = make_ivf_ann_fixture(
+        sf_dir, os.path.join(out_dir, f"emb_ivf_ann_{sf_tag}.parquet"))
     print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
-          f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows) to {out_dir}")
+          f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows), "
+          f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows) to {out_dir}")
 
 
 if __name__ == "__main__":
