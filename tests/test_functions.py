@@ -509,3 +509,74 @@ def test_kmv_sketch_two_level_merge_is_exact(spark):
             assert rel_err < 4 / (63 ** 0.5)
         else:
             assert r.kth_min is None and r.est_distinct == float(len(mins))
+
+
+def _make_bmp(w, h, rgb_fn):
+    """Minimal uncompressed 24-bpp bottom-up BMP writer (test-only)."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up: last image row first
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            row += bytes([b, g, r])
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    return bytes(header + dib + rows)
+
+
+def test_bmp_pixel_feature_responds_to_pixels(spark):
+    """VERDICT round-2 item 9: the BMP feature path decodes PIXELS —
+    it must track luminance by position, ignore non-pixel byte changes,
+    and only non-BMP blobs take the hash fallback."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_bmp_pixels,
+        _luma_grid_feature,
+        image_feature_udf,
+    )
+
+    white = _make_bmp(16, 16, lambda x, y: (255, 255, 255))
+    half = _make_bmp(16, 16,
+                     lambda x, y: (0, 0, 0) if x < 8 else (255, 255, 255))
+
+    luma_w = _decode_bmp_pixels(white)
+    assert luma_w.shape == (16, 16) and np.allclose(luma_w, 255.0, atol=0.5)
+    f_white = _luma_grid_feature(luma_w, 64)
+    assert np.allclose(f_white, 1.0, atol=0.01)
+
+    f_half = _luma_grid_feature(_decode_bmp_pixels(half), 64).reshape(8, 8)
+    assert np.allclose(f_half[:, :4], 0.0, atol=0.01)   # left: black
+    assert np.allclose(f_half[:, 4:], 1.0, atol=0.01)   # right: white
+
+    # single-pixel change moves exactly its grid cell (top-left pixel
+    # -> cell [0,0] after the bottom-up flip is undone)
+    dot = _make_bmp(16, 16,
+                    lambda x, y: (0, 0, 0) if (x, y) == (0, 0)
+                    else (255, 255, 255))
+    f_dot = _luma_grid_feature(_decode_bmp_pixels(dot), 64).reshape(8, 8)
+    assert f_dot[0, 0] < 0.9 and np.allclose(f_dot.ravel()[1:], 1.0,
+                                             atol=0.01)
+
+    # trailing garbage after the pixel data: same pixels -> same feature
+    # (the round-2 md5-of-bytes stub would change)
+    np.testing.assert_array_equal(
+        _luma_grid_feature(_decode_bmp_pixels(white + b"garbage"), 64),
+        f_white)
+
+    # through the Spark UDF: real path matches the direct computation,
+    # non-BMP falls back to the deterministic fake
+    df = spark.createDataFrame(
+        [(1, bytearray(white)), (2, bytearray(b"\x89PNG1234 not a real png"))],
+        "id long, blob binary")
+    feat = image_feature_udf(64)
+    got = {r.id: np.array(r.f, dtype=np.float32) for r in
+           df.select("id", feat("blob").alias("f")).collect()}
+    np.testing.assert_allclose(got[1], f_white, rtol=1e-6)
+    assert len(got[2]) == 64 and not np.allclose(got[2], f_white)
