@@ -66,6 +66,15 @@ def asof_join(
         raise ValueError(
             f"asof_join: left columns collide with internal names {clash}"
         )
+    # ADVICE round 2: a left column named '<right_col>_asof' would make
+    # the final select emit DUPLICATE names, silently breaking by-name
+    # access downstream — refuse instead (pass a different suffix)
+    out_clash = set(out_names) & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"asof_join: output names {out_clash} already exist on the "
+            f"left side — choose a different suffix (got {suffix!r})"
+        )
 
     # NULL timestamps: a right row with NULL right_ts sorts nulls-first
     # and would otherwise become the 'match before everything' for left

@@ -274,3 +274,22 @@ def test_range_join_no_bnl_and_matches_naive(spark):
     key = lambda df: sorted((r.eid, r.wid) for r in df.collect())
     assert key(binned) == key(naive)
     assert len(key(binned)) > 0
+
+
+def test_asof_join_output_name_collision_raises(spark):
+    """ADVICE round 2: a left column named '<right_col>_asof' must raise
+    instead of silently duplicating the name in the output."""
+    import pytest
+
+    from incident_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "boom")], "k long, ts long, v_asof string")
+    right = spark.createDataFrame([(1, 5, "x")], "k long, ts long, v string")
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  right_cols=["v"])
+    # a different suffix resolves it
+    got = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_cols=["v"], suffix="_prior").collect()
+    assert got[0].v_prior == "x" and got[0].v_asof == "boom"

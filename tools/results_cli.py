@@ -38,10 +38,17 @@ def _parquet_pattern(path: str) -> str:
     return f"{path}/**/*.parquet" if os.path.isdir(path) else path
 
 
+def _sq(path: str) -> str:
+    """SQL-string-escape an interpolated path (ADVICE round 2: a quote
+    in a path broke the query; values use parameter binding, but view
+    DDL and read_parquet globs must be literals)."""
+    return path.replace("'", "''")
+
+
 def _out(con: duckdb.DuckDBPyConnection, output: str) -> None:
     con.sql(
         f"CREATE VIEW results AS SELECT * FROM read_parquet("
-        f"'{_parquet_pattern(output)}', hive_partitioning=true)"
+        f"'{_sq(_parquet_pattern(output))}', hive_partitioning=true)"
     )
 
 
@@ -79,7 +86,8 @@ def cmd_list(args) -> int:
         where = "NOT keep"
     rows = con.sql(
         f"SELECT url, keep, drop_reason, n_redactions, residual_pii, "
-        f"quality_score FROM results WHERE {where} ORDER BY url LIMIT {args.limit}"
+        f"quality_score FROM results WHERE {where} ORDER BY url LIMIT ?",
+        params=[int(args.limit)],
     ).fetchall()
     for r in rows:
         print(json.dumps(
@@ -94,9 +102,10 @@ def cmd_unprocessed(args) -> int:
     con = duckdb.connect()
     _out(con, args.output)
     rows = con.sql(
-        f"SELECT p.url FROM read_parquet('{_parquet_pattern(args.input)}') p "
+        f"SELECT p.url FROM read_parquet('{_sq(_parquet_pattern(args.input))}') p "
         f"WHERE NOT EXISTS (SELECT 1 FROM results r WHERE r.url = p.url) "
-        f"ORDER BY p.url LIMIT {args.limit}"
+        f"ORDER BY p.url LIMIT ?",
+        params=[int(args.limit)],
     ).fetchall()
     for (url,) in rows:
         print(url)
@@ -129,8 +138,8 @@ def cmd_stats(args) -> int:
         m = con.sql(
             f"SELECT run_id, COUNT(DISTINCT partition_id) AS buckets, "
             f"CAST(SUM(rows_in) AS BIGINT) AS rows FROM "
-            f"read_parquet('{_parquet_pattern(args.manifest)}') GROUP BY run_id "
-            f"ORDER BY run_id"
+            f"read_parquet('{_sq(_parquet_pattern(args.manifest))}') "
+            f"GROUP BY run_id ORDER BY run_id"
         ).fetchall()
         out["manifest_runs"] = [
             dict(zip(["run_id", "buckets", "rows"], r)) for r in m
