@@ -46,6 +46,14 @@ def parse_args(argv=None):
                         "(never use processing-time timers here: they "
                         "keep drained queries alive forever)")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--rocksdb", action="store_true",
+                   help="back streaming state with RocksDB instead of "
+                        "the in-memory HDFS-backed store: dedup state "
+                        "spills to local disk, so per-executor state is "
+                        "bounded by disk, not heap — the right provider "
+                        "for web-scale key cardinalities (only applies "
+                        "when this job owns the session; state-store "
+                        "provider is a session-level conf)")
     p.add_argument("--available-now", action="store_true",
                    help="drain existing files and exit (cron-style)")
     p.add_argument("--timeout-sec", type=int, default=0,
@@ -57,7 +65,14 @@ def parse_args(argv=None):
 def run(args, spark=None) -> dict:
     owns = spark is None
     if owns:
-        spark = build_session("pii-scrub-stream", master=args.master)
+        extra = {}
+        if args.rocksdb:
+            extra["spark.sql.streaming.stateStore.providerClass"] = (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        spark = build_session("pii-scrub-stream", master=args.master,
+                              extra_conf=extra)
     queries = []
     try:
         pages = read_pages_stream(

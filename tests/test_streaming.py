@@ -320,3 +320,68 @@ def test_streaming_neardup_multiband_recall(spark, tmp_path_factory):
     assert not q.isActive
     got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
     assert got == {"u1", "u2"}  # u3 dropped via its band-3 collision
+
+
+def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path_factory):
+    """The stateful dedup must run unchanged on the RocksDB state store
+    (jobs/stream_scrub.py --rocksdb): at web-scale key cardinalities the
+    default in-memory provider is heap-bounded; RocksDB spills to local
+    disk. Asserts the provider actually engaged (RocksDB checkpoints
+    .zip/.changelog artifacts into the state dir, the HDFS-backed store
+    writes .delta/.snapshot) and dedup semantics hold across batches."""
+    import datetime as dt
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        d = tmp_path_factory.mktemp("rocksdb_in")
+        ts = dt.datetime(2025, 1, 1)
+        schema = pa.schema(
+            [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+             ("html", pa.binary()), ("text", pa.string()),
+             ("lang", pa.string())])
+
+        def write(name, rows):
+            pq.write_table(pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                            "text", "lang"]),
+                schema=schema, preserve_index=False), str(d / name))
+
+        write("b0.parquet", [("u1", ts, b"", "some document text", "en")])
+        write("b1.parquet", [("u2", ts, b"", "some document text", "en"),
+                             ("u3", ts, b"", "a different document", "en")])
+        pages = (spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string").option("maxFilesPerTrigger", 1).parquet(str(d)))
+        out = tmp_path_factory.mktemp("rocksdb_out")
+        q = (streaming_exact_dedup(pages)
+             .writeStream.format("parquet").option("path", str(out / "data"))
+             .option("checkpointLocation", str(out / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert not q.isActive
+        got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
+        assert got == {"u1", "u3"}  # cross-batch dup dropped under RocksDB
+        arts = glob.glob(str(out / "ckpt" / "state" / "**" / "*"),
+                         recursive=True)
+        assert any(a.endswith(".zip") or a.endswith(".changelog")
+                   for a in arts), f"no RocksDB artifacts in {arts[:10]}"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
