@@ -580,3 +580,26 @@ def test_bmp_pixel_feature_responds_to_pixels(spark):
            df.select("id", feat("blob").alias("f")).collect()}
     np.testing.assert_allclose(got[1], f_white, rtol=1e-6)
     assert len(got[2]) == 64 and not np.allclose(got[2], f_white)
+
+
+def test_two_level_topk_ops_partition_invariant(spark):
+    """doc_source_cap and doc_word_kmv_sketch aggregate per input
+    partition (spark_partition_id) before merging — their RESULTS must
+    be invariant to how the input happens to be partitioned, or resumes
+    and cluster-size changes would flip rows. Exercised by forcing
+    1, 3, and 16 partitions over the same table."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    base_cap = entry._doc_source_cap(spark, sf).collect()
+    base_kmv = entry._doc_word_kmv_sketch(spark, sf).collect()
+
+    real_t = entry._t
+    try:
+        for n in (1, 3, 16):
+            entry._t = lambda s, d, name, _n=n: real_t(s, d, name) \
+                .repartition(_n)
+            assert entry._doc_source_cap(spark, sf).collect() == base_cap
+            assert entry._doc_word_kmv_sketch(spark, sf).collect() == base_kmv
+    finally:
+        entry._t = real_t
