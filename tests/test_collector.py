@@ -1,0 +1,118 @@
+"""S3 platform collector (reference rootly_collector.py) with an
+injected transport: pagination, retry/backoff, partial-on-failure,
+task enrichment, and the collect -> JSONL -> Spark S1 scan round trip."""
+
+from incident_pii_redactor_spark.sources.collector import (
+    IncidentCollector,
+    TransportError,
+    save_jsonl,
+)
+
+
+def _incident(i):
+    return {"id": f"inc-{i:03d}", "title": f"Outage {i}",
+            "summary": "db down",
+            "description": f"Contact ops-{i}@corpmail.com",
+            "status": "resolved", "severity": "sev2",
+            "created_at": "2025-01-01T00:00:00",
+            "participants": [{"id": "u1", "name": "Alice Johnson",
+                              "email": "alice@corpmail.com",
+                              "role": "commander"}]}
+
+
+def _paged_transport(pages, fail_times=0, log=None):
+    """3-page style fake API; optionally fails the first N calls."""
+    state = {"fails": fail_times}
+
+    def transport(endpoint, params):
+        if log is not None:
+            log.append((endpoint, dict(params)))
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise TransportError("503")
+        if endpoint == "incidents":
+            p = params["page"]
+            data = pages[p - 1] if p <= len(pages) else []
+            return {"data": data,
+                    "meta": {"pagination": {"pages": len(pages)}}}
+        if endpoint == "tasks":
+            return {"data": [{"id": f"task-for-{params['incident_id']}"}]}
+        raise AssertionError(endpoint)
+
+    return transport
+
+
+def test_pagination_accumulates_all_pages():
+    pages = [[_incident(i) for i in range(p * 2, p * 2 + 2)]
+             for p in range(3)]
+    log = []
+    c = IncidentCollector(_paged_transport(pages, log=log), sleep=lambda s: 0)
+    got = c.collect_incidents(days_back=7)
+    assert [r["id"] for r in got] == [f"inc-{i:03d}" for i in range(6)]
+    assert c.stats["pages"] == 3
+    # date-window + ordering params on every request (reference :60-70)
+    for _, params in log:
+        assert params["order[created_at]"] == "desc"
+        assert "created_at[gte]" in params and "created_at[lte]" in params
+
+
+def test_retry_then_success_and_backoff():
+    pages = [[_incident(0)]]
+    sleeps = []
+    c = IncidentCollector(_paged_transport(pages, fail_times=2),
+                          max_retries=2, backoff_sec=0.5,
+                          sleep=sleeps.append)
+    got = c.collect_incidents()
+    assert len(got) == 1
+    assert sleeps == [0.5, 1.0]  # exponential backoff, injected clock
+    assert c.stats["retries"] == 2
+
+
+def test_persistent_failure_keeps_partial_results():
+    """Page 2 dies even after retries -> page 1's rows are KEPT
+    (reference :94-97 breaks and returns what it has)."""
+    calls = {"n": 0}
+
+    def transport(endpoint, params):
+        calls["n"] += 1
+        if params["page"] == 1:
+            return {"data": [_incident(0)],
+                    "meta": {"pagination": {"pages": 2}}}
+        raise TransportError("boom")
+
+    c = IncidentCollector(transport, max_retries=1, sleep=lambda s: 0)
+    got = c.collect_incidents()
+    assert [r["id"] for r in got] == ["inc-000"]
+    assert c.stats["errors"] == 2  # initial + 1 retry on page 2
+
+
+def test_enrichment_failure_yields_empty_tasks():
+    def transport(endpoint, params):
+        if endpoint == "tasks" and params["incident_id"] == "inc-001":
+            raise TransportError("task api down")
+        return {"data": [{"id": "t1"}]}
+
+    c = IncidentCollector(transport, max_retries=0, sleep=lambda s: 0)
+    enriched = c.enrich_with_tasks([_incident(0), _incident(1)])
+    assert enriched[0]["tasks"] == [{"id": "t1"}]
+    assert enriched[1]["tasks"] == []  # failed fetch, batch survives
+
+
+def test_collect_to_jsonl_to_spark_scan(spark, tmp_path_factory):
+    """The full S3 -> S1 path: collect via fake transport, write JSONL,
+    scan with the declared schema, flatten to scrub-ready documents."""
+    from incident_pii_redactor_spark.sources.incidents import (
+        incidents_as_documents,
+        read_incidents_jsonl,
+    )
+
+    pages = [[_incident(i) for i in range(3)]]
+    c = IncidentCollector(_paged_transport(pages), sleep=lambda s: 0)
+    rows = c.enrich_with_tasks(c.collect_incidents())
+    path = str(tmp_path_factory.mktemp("collected") / "incidents.jsonl")
+    assert save_jsonl(rows, path) == 3
+
+    docs = incidents_as_documents(read_incidents_jsonl(spark, path))
+    got = {r.incident_key: r.text for r in docs.collect()}
+    assert set(got) == {"inc-000", "inc-001", "inc-002"}
+    assert "alice@corpmail.com" in got["inc-000"]  # PII reaches the scrub
