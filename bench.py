@@ -126,7 +126,7 @@ def run_family(fam: str) -> None:
         pages = spark.read.parquet(ppath)
         all_t = []
         n_rows = 0
-        for _ in range(2):
+        for _ in range(3):  # host swings 2-5x between identical passes
             t0 = time.time()
             n_rows = quality_scrub(pages).count()
             all_t.append(round(time.time() - t0, 3))
@@ -139,7 +139,7 @@ def run_family(fam: str) -> None:
         n_large = large.count()
         large_bytes = large.selectExpr("sum(octet_length(text))").head()[0]
         all_t = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             quality_scrub(large).count()
             all_t.append(round(time.time() - t0, 3))
