@@ -98,12 +98,14 @@ class IncidentCollector:
             rows = got.get("data", [])
             out.extend(rows)
             self.stats["pages"] += 1
+            # truncate BEFORE any loop exit: the limit must also apply
+            # when the final page crosses it (review round 3)
+            if limit is not None and len(out) >= limit:
+                out = out[:limit]
+                break
             pages_total = got.get("meta", {}).get("pagination", {}) \
                              .get("pages", 0)
             if not rows or pages_total <= page:
-                break
-            if limit is not None and len(out) >= limit:
-                out = out[:limit]
                 break
             page += 1
         self.stats["incidents"] = len(out)

@@ -85,7 +85,8 @@ def _timeout_conf(ttl_ms: int, event_ttl_ms: int):
     return GroupStateTimeout.NoTimeout
 
 
-def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
+def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0,
+                     ts_col: str = "warc_ts"):
     def emit_first(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -99,16 +100,17 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
             # group (large groups arrive as multiple chunks in shuffle-
             # dependent order). The key is None-safe and total: url ties
             # (re-fetches of the same url with identical text) break on
-            # warc_ts so the survivor never depends on chunk order.
+            # the event timestamp so the survivor never depends on chunk
+            # order.
             best = None  # one-row DataFrame (keeps dtypes for Arrow)
             best_key = None
             for pdf in pdfs:
                 if not len(pdf):
                     continue
-                max_ev = max(max_ev, _max_event_ms(pdf))
+                max_ev = max(max_ev, _max_event_ms(pdf, ts_col))
                 keys = list(
                     zip(pdf["url"].fillna("").astype(str),
-                        pdf["warc_ts"].astype(str))
+                        pdf[ts_col].astype(str))
                 )
                 i = min(range(len(keys)), key=keys.__getitem__)
                 if best_key is None or keys[i] < best_key:
@@ -117,7 +119,7 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0):
                 yield best.drop(columns=["_fp"])
         else:
             for pdf in pdfs:  # drain; duplicates still refresh the TTL
-                max_ev = max(max_ev, _max_event_ms(pdf))
+                max_ev = max(max_ev, _max_event_ms(pdf, ts_col))
         state.update((True,))
         _set_ttl(state, ttl_ms, event_ttl_ms, max_ev)
 
@@ -140,7 +142,7 @@ def streaming_exact_dedup(pages: DataFrame, text_col: str = "text",
         for f in pages.schema.fields
     )
     return keyed.groupBy("_fp").applyInPandasWithState(
-        _make_emit_first(ttl_ms, event_ttl_ms),
+        _make_emit_first(ttl_ms, event_ttl_ms, ts_col),
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

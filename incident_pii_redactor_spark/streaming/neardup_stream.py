@@ -77,7 +77,7 @@ def _agreement(a: list[str], b: list[str]) -> float:
 
 
 def _make_band_fn(threshold: float, max_kept: int, ttl_ms: int,
-                  event_ttl_ms: int = 0):
+                  event_ttl_ms: int = 0, ts_col: str = "warc_ts"):
     """Stage 1: per band-bucket verdicts. Emits EVERY row, adding
     ``_matched`` (this band saw a stored near-dup signature)."""
 
@@ -95,14 +95,14 @@ def _make_band_fn(threshold: float, max_kept: int, ttl_ms: int,
         for pdf in pdfs:
             if len(pdf):
                 rows.append(pdf)
-                max_ev = max(max_ev, _max_event_ms(pdf))
+                max_ev = max(max_ev, _max_event_ms(pdf, ts_col))
         if rows:
             batch = pd.concat(rows, ignore_index=True)
             # deterministic processing order across Arrow chunks AND
             # consistent across a doc's band buckets (the sort key is a
             # property of the doc, not of the bucket)
             batch = batch.sort_values(
-                ["url", "warc_ts", "_sig"], kind="mergesort"
+                ["url", ts_col, "_sig"], kind="mergesort"
             ).reset_index(drop=True)
             matched = []
             for i in range(len(batch)):
@@ -178,11 +178,8 @@ def streaming_neardup_dedup(
         F.concat(
             F.lit(f"band{b}:"),
             F.array_join(
-                F.transform(
-                    F.slice(F.split(F.col("_sig"), "\\|"),
-                            b * rows_per_band + 1, rows_per_band),
-                    lambda v: v,
-                ),
+                F.slice(F.split(F.col("_sig"), "\\|"),
+                        b * rows_per_band + 1, rows_per_band),
                 "|",
             ),
         )
@@ -209,7 +206,7 @@ def streaming_neardup_dedup(
         f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
     )
     stage1 = keyed.groupBy("_key").applyInPandasWithState(
-        _make_band_fn(threshold, max_kept, ttl_ms, event_ttl_ms),
+        _make_band_fn(threshold, max_kept, ttl_ms, event_ttl_ms, ts_col),
         outputStructType=f"{carried}, _sig string, _nb int, _matched boolean",
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -116,3 +116,13 @@ def test_collect_to_jsonl_to_spark_scan(spark, tmp_path_factory):
     got = {r.incident_key: r.text for r in docs.collect()}
     assert set(got) == {"inc-000", "inc-001", "inc-002"}
     assert "alice@corpmail.com" in got["inc-000"]  # PII reaches the scrub
+
+
+def test_limit_applies_on_final_page():
+    """Review round 3: the limit must truncate even when it is reached
+    on the last (or only) page - the pagination-exhausted break ran
+    before the truncation."""
+    pages = [[_incident(i) for i in range(10)]]
+    c = IncidentCollector(_paged_transport(pages), sleep=lambda s: 0)
+    got = c.collect_incidents(limit=5)
+    assert [r["id"] for r in got] == [f"inc-{i:03d}" for i in range(5)]

@@ -30,19 +30,30 @@ _FORBIDDEN_JOINS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 def test_every_driver_query_plan_is_scale_shaped(spark):
     import __spark_entry__ as entry
 
-    offenders: dict[str, list[str]] = {}
-    for name, fn in entry.queries().items():
-        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        problems = []
-        if name not in ALLPAIRS_ORACLE:
-            problems += [j for j in _FORBIDDEN_JOINS if j in plan]
-        problems += [
-            f"scan reads html: {m}"
-            for m in re.findall(r"ReadSchema: struct<[^\n]*", plan)
-            if re.search(r"[<,]html:", m)
-        ]
-        if problems:
-            offenders[name] = problems
+    # ReadSchema strings truncate at maxMetadataStringLength (default
+    # 100 chars, '... N more fields') — a truncated schema could hide an
+    # html column from the assertion below (review round 3). Raise the
+    # limit for the sweep and fail on any truncation marker.
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try:
+        offenders: dict[str, list[str]] = {}
+        for name, fn in entry.queries().items():
+            plan = fn(spark, SF)._jdf.queryExecution() \
+                .executedPlan().toString()
+            problems = []
+            if name not in ALLPAIRS_ORACLE:
+                problems += [j for j in _FORBIDDEN_JOINS if j in plan]
+            scans = re.findall(r"ReadSchema: struct<[^\n]*", plan)
+            problems += [f"scan reads html: {m}" for m in scans
+                         if re.search(r"[<,]html:", m)]
+            problems += [f"truncated ReadSchema defeats the check: {m}"
+                         for m in scans if "more fields" in m]
+            if problems:
+                offenders[name] = problems
+    finally:
+        spark.conf.set(key, old)
     assert not offenders, f"scale-hostile plans: {offenders}"
 
 

@@ -385,3 +385,51 @@ def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path_factory):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_event_time_ttl_respects_custom_ts_col(spark, tmp_path_factory):
+    """Review round 3: _max_event_ms hardcoded 'warc_ts', so a stream
+    keyed on a differently-named event column silently fell back to the
+    watermark anchor and re-introduced the batch-0 eviction bug. A
+    duplicate WITHIN the TTL must stay suppressed under ts_col !=
+    'warc_ts'."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    text_a = "a perfectly ordinary document about rivers and hills"
+    d = tmp_path_factory.mktemp("ttl_tscol")
+    schema = pa.schema([("url", pa.string()),
+                        ("fetched_at", pa.timestamp("us")),
+                        ("text", pa.string())])
+
+    def mk(name, rows):
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["url", "fetched_at", "text"]),
+            schema=schema, preserve_index=False), str(d / name))
+
+    mk("b0.parquet", [("u1", t0, text_a)])
+    mk("b1.parquet", [("u2", t0 + dt.timedelta(hours=2), "advancer one")])
+    mk("b2.parquet", [("u3", t0 + dt.timedelta(hours=4), "advancer two")])
+    mk("b3.parquet", [("u4", t0 + dt.timedelta(hours=6), text_a)])  # dup
+
+    pages = (spark.readStream.schema(
+        "url string, fetched_at timestamp, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = tmp_path_factory.mktemp("ttl_tscol_out")
+    q = (streaming_exact_dedup(pages, ts_col="fetched_at",
+                               event_ttl_ms=10 * 3600 * 1000)
+         .writeStream.format("parquet").option("path", str(out / "data"))
+         .option("checkpointLocation", str(out / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
+    assert got == {"u1", "u2", "u3"}  # u4 suppressed: within the TTL
