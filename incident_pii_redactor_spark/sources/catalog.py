@@ -22,6 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_PREFIX = "iceberg:"
 
+# the authoritative input shape (BASELINE.json input_hint) — declared,
+# never inferred: at ~800k input files schema inference is its own
+# distributed footer-reading job before any real work starts, and with
+# ignoreCorruptFiles enabled an unlucky corrupt first file makes
+# inference give up entirely (UNABLE_TO_INFER_SCHEMA) even though every
+# data task would have succeeded
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
 
 def read_pages(spark: SparkSession, source: str,
                snapshot_id: int | None = None) -> DataFrame:
@@ -39,4 +48,4 @@ def read_pages(spark: SparkSession, source: str,
             "snapshot pinning requires an iceberg: source — a plain parquet "
             "path cannot guarantee retries see identical input"
         )
-    return spark.read.parquet(source)
+    return spark.read.schema(PAGES_SCHEMA).parquet(source)

@@ -62,6 +62,13 @@ def parse_args(argv=None):
     p.add_argument("--num-partitions", type=int, default=0,
                    help="target partitions for --salt (0 = default parallelism)")
     p.add_argument("--master", default=None)
+    p.add_argument("--ignore-corrupt-files", action="store_true",
+                   help="skip unreadable input files instead of failing "
+                        "the job (spark.sql.files.ignoreCorruptFiles): at "
+                        "crawl scale some shards WILL have truncated "
+                        "footers, and one of ~800k files must not kill a "
+                        "resume-capable run. Default off — silent data "
+                        "loss should be an explicit operator decision")
     p.add_argument("--fail-after-groups", type=int, default=0,
                    help="TESTING ONLY: exit(1) after N completed groups")
     return p.parse_args(argv)
@@ -71,6 +78,10 @@ def run(args, spark=None) -> dict:
     owns_session = spark is None
     if owns_session:
         spark = build_session("pii-scrub-job", master=args.master)
+    _corrupt_key = "spark.sql.files.ignoreCorruptFiles"
+    _corrupt_old = spark.conf.get(_corrupt_key)
+    if args.ignore_corrupt_files:
+        spark.conf.set(_corrupt_key, "true")
     try:
         df = with_bucket(read_pages(spark, args.input), "url", args.n_buckets)
         manifest = read_manifest(spark, args.manifest)
@@ -113,6 +124,8 @@ def run(args, spark=None) -> dict:
     finally:
         if owns_session:
             spark.stop()
+        else:
+            spark.conf.set(_corrupt_key, _corrupt_old)  # reused session
 
 
 if __name__ == "__main__":

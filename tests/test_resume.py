@@ -227,3 +227,33 @@ def test_results_cli_surface(spark, pages_parquet, tmp_path_factory, capsys):
 
     a = cli_args(["get", "--output", str(d / "out"), "--url", "nope://x"])
     assert a.fn(a) == 1  # not found -> nonzero exit
+
+
+def test_scrub_job_ignore_corrupt_files(spark, tmp_path_factory):
+    """At crawl scale some shards have truncated footers. Default:
+    a corrupt file fails the job loudly. --ignore-corrupt-files: the
+    good shards process, the garbage shard is skipped."""
+    from incident_pii_redactor_spark.sources.pages import (
+        write_pages_parquet,
+    )
+    from jobs.scrub import parse_args as jargs, run as jrun
+
+    d = tmp_path_factory.mktemp("corrupt_in")
+    write_pages_parquet(str(d / "good.parquet"), 200, seed=3)
+    (d / "bad.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+
+    o1 = tmp_path_factory.mktemp("corrupt_out1")
+    base = ["--input", str(d), "--output", str(o1 / "out"),
+            "--manifest", str(o1 / "mf"), "--n-buckets", "4",
+            "--bucket-group-size", "4"]
+    with pytest.raises(Exception):
+        jrun(jargs(base), spark=spark)
+
+    o2 = tmp_path_factory.mktemp("corrupt_out2")
+    got = jrun(jargs(["--input", str(d), "--output", str(o2 / "out"),
+                      "--manifest", str(o2 / "mf"), "--n-buckets", "4",
+                      "--bucket-group-size", "4",
+                      "--ignore-corrupt-files"]), spark=spark)
+    assert got["rows"] == 200  # every good row, no crash
+    # the conf was restored on the reused session
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false"
