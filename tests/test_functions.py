@@ -603,3 +603,48 @@ def test_two_level_topk_ops_partition_invariant(spark):
             assert entry._doc_word_kmv_sketch(spark, sf).collect() == base_kmv
     finally:
         entry._t = real_t
+
+
+def _box(typ, payload):
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def test_mp4_container_metadata_real_parse(spark):
+    """MP4/ISO-BMFF metadata is parsed from real box structure (moov/
+    mvhd v0+v1, track count); non-MP4 and corrupt blobs fall back."""
+    import struct
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_mp4_meta,
+        decode_video_meta,
+    )
+
+    # mvhd v0: ver+flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    mvhd_v0 = _box(b"mvhd", bytes(4) + bytes(8)
+                   + struct.pack(">II", 600, 3600) + bytes(80))
+    trak = _box(b"trak", b"")
+    moov = _box(b"moov", mvhd_v0 + trak + trak)
+    mp4 = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    assert _decode_mp4_meta(mp4) == (6.0, 600, 2, "mp4")
+
+    # v1 layout: 64-bit times
+    mvhd_v1 = _box(b"mvhd", b"\x01" + bytes(3) + bytes(16)
+                   + struct.pack(">I", 90000)
+                   + struct.pack(">Q", 90000 * 12) + bytes(80))
+    mp4_v1 = _box(b"ftyp", b"isom") + _box(b"moov", mvhd_v1 + trak)
+    assert _decode_mp4_meta(mp4_v1) == (12.0, 90000, 1, "mp4")
+
+    # corrupt: truncated moov, zero-size box loop guard, non-mp4
+    assert _decode_mp4_meta(mp4[:30]) is None
+    assert _decode_mp4_meta(b"\x00" * 40) is None
+    assert _decode_mp4_meta(b"RIFFxxxxWAVE" + bytes(20)) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"not a video"))],
+        "id long, blob binary")
+    got = {r.id: r for r in decode_video_meta(df, "id", "blob").collect()}
+    assert (got[1].duration_s, got[1].timescale, got[1].n_tracks,
+            got[1].format) == (6.0, 600, 2, "mp4")
+    assert got[2].format == "fake" and got[2].duration_s > 0
