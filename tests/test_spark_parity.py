@@ -125,3 +125,33 @@ def test_mask_toxicity_optin(spark):
     out = quality_scrub(df, mask_toxicity=True).collect()[0]
     assert out.keep
     assert "[TOXIC]" in out.text_scrubbed and "moron" not in out.text_scrubbed
+
+
+def test_keep_drop_f1_and_scrub_byte_identity_vs_oracle(spark):
+    """The north-rule acceptance criterion, stated as itself: keep/drop
+    F1 vs the oracle labels >= 0.99 (measured: exactly 1.0 — the oracle
+    IS the shared core, so labels agree by construction) and
+    byte-identical scrubbed text per document."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    oracle = pq.read_table(
+        "tests/fixtures/scrub_documents_sf0.01.parquet"
+    ).to_pandas().set_index("doc_id").sort_index()
+    got = (entry._scrub_documents(spark, "/root/testdata/sf0.01")
+           .toPandas().set_index("doc_id").sort_index())
+    assert list(got.index) == list(oracle.index)
+
+    tp = int((got["keep"] & oracle["keep"]).sum())
+    fp = int((got["keep"] & ~oracle["keep"]).sum())
+    fn = int((~got["keep"] & oracle["keep"]).sum())
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} below the 0.99 gate"
+    assert f1 == 1.0  # shared-core construction: exact agreement
+
+    same_text = (got["text_scrubbed"].fillna("\x00")
+                 == oracle["text_scrubbed"].fillna("\x00"))
+    assert bool(same_text.all())  # byte-identical scrubbed text per doc
