@@ -213,6 +213,44 @@ def minhash_lsh_pairs(
     )
 
 
+# --- paragraph-level dedup ---------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup (Wenzek et al. 2020): drop every
+    repeated non-empty paragraph corpus-wide (keeper = first occurrence
+    by (id, paragraph index)), reassemble surviving documents in
+    original paragraph order. Returns (id_col, text_dedup,
+    n_paras_kept); documents whose every paragraph was seen elsewhere
+    are ABSENT from the result — exactly CCNet's behavior on mirrors.
+
+    Scale shape: one shuffle keyed by md5(paragraph) for the
+    first-occurrence window (high-entropy key — no skew), one shuffle by
+    id for reassembly; paragraph fan-out is linear in input bytes."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(text_col, "\n")).alias("idx", "para"),
+    ).filter(F.trim("para") != "")
+    w = Window.partitionBy(F.md5("para")).orderBy("_id", "idx")
+    first = paras.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        first.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+            F.count("*").alias("n_paras_kept"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 # --- winnowing fingerprints ---------------------------------------------------
 
 def winnow_fingerprints(text_col: str = "text", n: int = 3,

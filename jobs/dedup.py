@@ -56,6 +56,12 @@ def parse_args(argv=None):
     p.add_argument("--no-verify-jaccard", action="store_true",
                    help="treat raw LSH candidates as duplicates (FP rate "
                         "~1-(1-s^2)^4 at default n_perm=8/bands=4)")
+    p.add_argument("--paragraph", action="store_true",
+                   help="ALSO dedup at paragraph granularity (CCNet): "
+                        "corpus-wide repeated paragraphs are removed and "
+                        "documents rewritten; fully-duplicated documents "
+                        "drop. Runs after the doc-level modes, so the "
+                        "surviving corpus defines first-occurrence order")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
 
@@ -93,6 +99,17 @@ def run(args, spark=None) -> dict:
             drops = pairs.select(F.col("id_b").alias("url")).distinct()
             df = df.join(F.broadcast(drops), on="url", how="left_anti")
             stats["rows_after_near"] = df.count()
+
+        if args.paragraph:
+            from incident_pii_redactor_spark.functions.dedup import (
+                paragraph_dedup,
+            )
+
+            rewritten = paragraph_dedup(df, id_col="url", text_col="text") \
+                .select("url", F.col("text_dedup").alias("text"))
+            # inner join: docs with zero surviving paragraphs drop here
+            df = df.drop("text").join(rewritten, on="url")
+            stats["rows_after_paragraph"] = df.count()
 
         df.write.mode("overwrite").parquet(args.output)
         stats["rows_out"] = spark.read.parquet(args.output).count()

@@ -257,3 +257,41 @@ def test_scrub_job_ignore_corrupt_files(spark, tmp_path_factory):
     assert got["rows"] == 200  # every good row, no crash
     # the conf was restored on the reused session
     assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false"
+
+
+def test_dedup_job_paragraph_mode(spark, tmp_path_factory):
+    """--paragraph: corpus-wide repeated paragraphs are removed from
+    surviving docs, fully-duplicated docs drop entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dargs, run as drun
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        ("https://a/1", "unique alpha text\n" + boiler),
+        ("https://a/2", boiler),                      # fully duplicated
+        ("https://a/3", "unique beta text\n" + boiler),
+    ]
+    d = tmp_path_factory.mktemp("para_job")
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame([(u, ts, b"", t, "en") for u, t in rows],
+                     columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=schema, preserve_index=False), str(d / "pages.parquet"))
+
+    out = str(d / "out")
+    got = drun(dargs(["--input", str(d / "pages.parquet"), "--output", out,
+                      "--mode", "exact", "--paragraph"]), spark=spark)
+    assert got["rows_after_paragraph"] == 2
+    res = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    # url/1 keeps the boilerplate (first occurrence); /3 loses it; /2 gone
+    assert res["https://a/1"] == "unique alpha text\n" + boiler
+    assert res["https://a/3"] == "unique beta text"
+    assert "https://a/2" not in res
