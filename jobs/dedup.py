@@ -56,6 +56,12 @@ def parse_args(argv=None):
     p.add_argument("--no-verify-jaccard", action="store_true",
                    help="treat raw LSH candidates as duplicates (FP rate "
                         "~1-(1-s^2)^4 at default n_perm=8/bands=4)")
+    p.add_argument("--exact-clusters", action="store_true",
+                   help="resolve near-dup CHAINS with connected "
+                        "components (one keeper per full cluster) instead "
+                        "of the default one-step min-url-wins per pair — "
+                        "O(cluster diameter) extra join rounds; see "
+                        "functions/graph.py")
     p.add_argument("--paragraph", action="store_true",
                    help="ALSO dedup at paragraph granularity (CCNet): "
                         "corpus-wide repeated paragraphs are removed and "
@@ -95,8 +101,23 @@ def run(args, spark=None) -> dict:
                     pairs, df, id_col="url", text_col="text",
                     n=args.shingle_words,
                 ).filter(F.col("jaccard") >= args.jaccard_threshold)
-            # min-url-wins: the larger url of every confirmed pair drops
-            drops = pairs.select(F.col("id_b").alias("url")).distinct()
+            if args.exact_clusters:
+                # exact cluster policy: one keeper per connected
+                # component (a chain A-B-C keeps only A even though A-C
+                # was never itself a confirmed pair)
+                from incident_pii_redactor_spark.functions.graph import (
+                    cluster_keepers,
+                )
+
+                drops = (
+                    cluster_keepers(pairs)
+                    .filter(F.col("node") != F.col("keeper"))
+                    .select(F.col("node").alias("url"))
+                )
+            else:
+                # min-url-wins: the larger url of every confirmed pair
+                # drops
+                drops = pairs.select(F.col("id_b").alias("url")).distinct()
             df = df.join(F.broadcast(drops), on="url", how="left_anti")
             stats["rows_after_near"] = df.count()
 

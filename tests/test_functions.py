@@ -648,3 +648,32 @@ def test_mp4_container_metadata_real_parse(spark):
     assert (got[1].duration_s, got[1].timescale, got[1].n_tracks,
             got[1].format) == (6.0, 600, 2, "mp4")
     assert got[2].format == "fake" and got[2].duration_s > 0
+
+
+def test_connected_components_chains_and_isolates(spark):
+    """Min-label propagation: a 4-chain, a triangle, and a pair resolve
+    to their component minima; convergence beyond direct neighbors is
+    the point (1-4 never share an edge)."""
+    from incident_pii_redactor_spark.functions.graph import (
+        cluster_keepers,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain: diameter 3
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],
+        "id_a long, id_b long")
+    got = {r.node: r.comp
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+    drops = {r.node for r in cluster_keepers(edges)
+             .filter("node != keeper").collect()}
+    assert drops == {2, 3, 4, 11, 12, 21}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(edges, max_iter=1)  # diameter-3 chain
