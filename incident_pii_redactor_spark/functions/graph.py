@@ -70,7 +70,12 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new
+        prev, labels = labels, new
+        # drop the superseded generation's last reference NOW: its
+        # localCheckpoint blocks are freed by refcount-driven JVM
+        # cleanup, so at most two generations (plus sym) are ever live —
+        # not max_iter of them
+        del prev
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -271,15 +271,24 @@ def _decode_mp4_meta(blob: bytes):
         n_tracks = 0
         for t2, s2, e2 in _iter_boxes(blob, s, e):
             if t2 == b"mvhd":
-                if blob[s2] == 1 and e2 - s2 >= 32:  # 64-bit times
-                    timescale = int.from_bytes(blob[s2 + 20:s2 + 24], "big")
-                    duration = int.from_bytes(blob[s2 + 24:s2 + 32], "big")
+                if blob[s2] == 1:  # version 1: 64-bit times
+                    if e2 - s2 >= 32:
+                        timescale = int.from_bytes(blob[s2 + 20:s2 + 24],
+                                                   "big")
+                        duration = int.from_bytes(blob[s2 + 24:s2 + 32],
+                                                  "big")
+                    # truncated v1 payload: corrupt — do NOT fall back to
+                    # the v0 layout (it would read the middle of the
+                    # 64-bit mtime field as timescale)
                 elif e2 - s2 >= 20:
                     timescale = int.from_bytes(blob[s2 + 12:s2 + 16], "big")
                     duration = int.from_bytes(blob[s2 + 16:s2 + 20], "big")
             elif t2 == b"trak":
                 n_tracks += 1
-        if timescale:
+        # range guard: the field is unsigned 32-bit but the output schema
+        # is int32 — an unchecked value would fail Arrow conversion and
+        # kill the task (same class the image path guards via _dims_ok)
+        if timescale and timescale <= _INT32_MAX:
             return (duration / timescale, timescale, n_tracks, "mp4")
         return None
     return None

@@ -48,4 +48,17 @@ def read_pages(spark: SparkSession, source: str,
             "snapshot pinning requires an iceberg: source — a plain parquet "
             "path cannot guarantee retries see identical input"
         )
-    return spark.read.schema(PAGES_SCHEMA).parquet(source)
+    df = spark.read.schema(PAGES_SCHEMA).parquet(source)
+    # Declared schemas NULL-fill columns the files don't actually carry
+    # — a renamed `text` column would silently read as all-NULL and the
+    # pipeline would write a garbage corpus (review round 3). A 100-row
+    # sample probe restores the fail-fast that inference used to give,
+    # without inference's distributed footer job.
+    sample = df.select("url", "text").limit(100).collect()
+    if sample and all(r.url is None and r.text is None for r in sample):
+        raise ValueError(
+            f"read_pages: {source} matched the declared schema by "
+            "NULL-filling — url and text are all NULL in a 100-row "
+            "sample. The files likely carry different column names."
+        )
+    return df

@@ -62,6 +62,11 @@ def parse_args(argv=None):
                         "of the default one-step min-url-wins per pair — "
                         "O(cluster diameter) extra join rounds; see "
                         "functions/graph.py")
+    p.add_argument("--cc-max-iter", type=int, default=50,
+                   help="round budget for --exact-clusters (each round = "
+                        "one join; the algorithm needs graph diameter + 1 "
+                        "rounds, and raises rather than returning an "
+                        "under-merged labeling if exceeded)")
     p.add_argument("--paragraph", action="store_true",
                    help="ALSO dedup at paragraph granularity (CCNet): "
                         "corpus-wide repeated paragraphs are removed and "
@@ -110,7 +115,7 @@ def run(args, spark=None) -> dict:
                 )
 
                 drops = (
-                    cluster_keepers(pairs)
+                    cluster_keepers(pairs, max_iter=args.cc_max_iter)
                     .filter(F.col("node") != F.col("keeper"))
                     .select(F.col("node").alias("url"))
                 )
@@ -126,10 +131,24 @@ def run(args, spark=None) -> dict:
                 paragraph_dedup,
             )
 
-            rewritten = paragraph_dedup(df, id_col="url", text_col="text") \
-                .select("url", F.col("text_dedup").alias("text"))
+            # ROW-unique paragraph id (review round 3): url alone is not
+            # unique across recrawl snapshots — grouping duplicate-url
+            # rows together would interleave two documents' paragraphs
+            # into one garbled text. (url, warc_ts, md5(text)) is unique
+            # per distinct content; byte-identical duplicate rows merge
+            # into one rewrite and fan back out unchanged, which is
+            # exactly right.
+            keyed = df.withColumn(
+                "_pid",
+                F.concat_ws("\x00", "url",
+                            F.col("warc_ts").cast("string"),
+                            F.md5("text")),
+            )
+            rewritten = paragraph_dedup(keyed, id_col="_pid",
+                                        text_col="text") \
+                .select("_pid", F.col("text_dedup").alias("text"))
             # inner join: docs with zero surviving paragraphs drop here
-            df = df.drop("text").join(rewritten, on="url")
+            df = keyed.drop("text").join(rewritten, on="_pid").drop("_pid")
             stats["rows_after_paragraph"] = df.count()
 
         df.write.mode("overwrite").parquet(args.output)

@@ -677,3 +677,25 @@ def test_connected_components_chains_and_isolates(spark):
 
     with pytest.raises(RuntimeError, match="fixed point"):
         connected_components(edges, max_iter=1)  # diameter-3 chain
+
+
+def test_mp4_corrupt_variants_fall_back():
+    """Review round 3: truncated v1 mvhd must not fall into the v0
+    parser; out-of-int32-range timescale must not reach Arrow."""
+    import struct
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_mp4_meta,
+    )
+
+    # v1 marker with only 24 payload bytes (would mis-parse as v0)
+    mvhd_trunc = _box(b"mvhd", b"\x01" + bytes(3) + bytes(16)
+                      + struct.pack(">I", 600))
+    assert _decode_mp4_meta(
+        _box(b"ftyp", b"isom") + _box(b"moov", mvhd_trunc)) is None
+
+    # timescale 2^31: legal-unsigned, overflows the int32 output column
+    mvhd_big = _box(b"mvhd", bytes(12)
+                    + struct.pack(">II", 1 << 31, 100) + bytes(80))
+    assert _decode_mp4_meta(
+        _box(b"ftyp", b"isom") + _box(b"moov", mvhd_big)) is None

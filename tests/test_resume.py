@@ -295,3 +295,53 @@ def test_dedup_job_paragraph_mode(spark, tmp_path_factory):
     assert res["https://a/1"] == "unique alpha text\n" + boiler
     assert res["https://a/3"] == "unique beta text"
     assert "https://a/2" not in res
+
+
+def test_read_pages_rejects_nullfilled_schema(spark, tmp_path_factory):
+    """Review round 3: the declared schema must not silently NULL-fill
+    an input whose files carry different column names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.sources.catalog import read_pages
+
+    d = tmp_path_factory.mktemp("wrong_cols")
+    pq.write_table(pa.table({"page_url": ["https://a/1"],
+                             "content": ["body text"]}),
+                   str(d / "part.parquet"))
+    with pytest.raises(ValueError, match="NULL-filling"):
+        read_pages(spark, str(d))
+
+
+def test_dedup_job_paragraph_mode_duplicate_urls(spark, tmp_path_factory):
+    """Review round 3: recrawl snapshots share a url — their paragraphs
+    must NOT interleave into one garbled rewrite."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dargs, run as drun
+
+    d = tmp_path_factory.mktemp("dup_url_para")
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    t1, t2 = dt.datetime(2025, 1, 1), dt.datetime(2025, 2, 1)
+    rows = [("https://a/1", t1, b"", "first snapshot body\nalpha", "en"),
+            ("https://a/1", t2, b"", "second snapshot body\nbeta", "en")]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=schema, preserve_index=False), str(d / "pages.parquet"))
+
+    out = str(d / "out")
+    drun(dargs(["--input", str(d / "pages.parquet"), "--output", out,
+                "--mode", "exact", "--paragraph"]), spark=spark)
+    texts = {(r.url, r.warc_ts.isoformat()): r.text
+             for r in spark.read.parquet(out).collect()}
+    assert texts[("https://a/1", "2025-01-01T00:00:00")] == \
+        "first snapshot body\nalpha"
+    assert texts[("https://a/1", "2025-02-01T00:00:00")] == \
+        "second snapshot body\nbeta"
