@@ -1,0 +1,84 @@
+"""End-to-end corpus pipeline: dedup -> quality-filter+scrub in ONE
+spark-submit, sharing a session and an intermediate parquet handoff —
+the full production path a training-data run takes.
+
+    spark-submit --py-files dist/engine.zip jobs/pipeline.py \
+        --input /data/pages --workdir /data/run1 \
+        [--dedup-mode both] [--paragraph] [--salt] [--rocksdb-n/a]
+
+Stages (each independently restartable — the scrub stage's manifest
+makes rerunning this CLI resume instead of recompute):
+
+1. ``jobs/dedup.py`` logic: exact and/or near dedup (+ optional
+   paragraph rewrite) from --input into <workdir>/deduped.
+2. ``jobs/scrub.py`` logic: manifest-resumable quality+scrub pass from
+   <workdir>/deduped into <workdir>/scrubbed (+ <workdir>/manifest).
+
+The dedup stage is re-run on a restart only when its output is absent —
+its output directory is the stage's commit marker (parquet _SUCCESS)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from incident_pii_redactor_spark.plans import build_session
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--workdir", required=True,
+                   help="run directory: deduped/ scrubbed/ manifest/")
+    p.add_argument("--dedup-mode", choices=("exact", "near", "both", "none"),
+                   default="both")
+    p.add_argument("--paragraph", action="store_true")
+    p.add_argument("--exact-clusters", action="store_true")
+    p.add_argument("--salt", action="store_true")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--bucket-group-size", type=int, default=8)
+    p.add_argument("--run-id", default="run1")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def run(args, spark=None) -> dict:
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+    from jobs.scrub import parse_args as scrub_args, run as scrub_run
+
+    owns = spark is None
+    if owns:
+        spark = build_session("pii-pipeline", master=args.master)
+    try:
+        deduped = os.path.join(args.workdir, "deduped")
+        stats: dict = {}
+        if args.dedup_mode == "none":
+            deduped = args.input
+        elif os.path.exists(os.path.join(deduped, "_SUCCESS")):
+            stats["dedup"] = "skipped (committed output present)"
+        else:
+            dargs = ["--input", args.input, "--output", deduped,
+                     "--mode", args.dedup_mode]
+            if args.paragraph:
+                dargs.append("--paragraph")
+            if args.exact_clusters:
+                dargs.append("--exact-clusters")
+            stats["dedup"] = dedup_run(dedup_args(dargs), spark=spark)
+
+        sargs = ["--input", deduped,
+                 "--output", os.path.join(args.workdir, "scrubbed"),
+                 "--manifest", os.path.join(args.workdir, "manifest"),
+                 "--run-id", args.run_id,
+                 "--n-buckets", str(args.n_buckets),
+                 "--bucket-group-size", str(args.bucket_group_size)]
+        if args.salt:
+            sargs.append("--salt")
+        stats["scrub"] = scrub_run(scrub_args(sargs), spark=spark)
+        return stats
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    print(run(parse_args()))

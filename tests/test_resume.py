@@ -345,3 +345,28 @@ def test_dedup_job_paragraph_mode_duplicate_urls(spark, tmp_path_factory):
         "first snapshot body\nalpha"
     assert texts[("https://a/1", "2025-02-01T00:00:00")] == \
         "second snapshot body\nbeta"
+
+
+def test_pipeline_job_end_to_end_and_stage_skip(spark, tmp_path_factory):
+    """jobs/pipeline.py: dedup -> scrub in one session; rerunning skips
+    the committed dedup stage and the scrub resumes via its manifest."""
+    from incident_pii_redactor_spark.sources.pages import (
+        write_pages_parquet,
+    )
+    from jobs.pipeline import parse_args as pargs, run as prun
+
+    d = tmp_path_factory.mktemp("pipe_in")
+    write_pages_parquet(str(d / "pages.parquet"), 300, seed=5)
+    wd = str(tmp_path_factory.mktemp("pipe_wd"))
+    base = ["--input", str(d / "pages.parquet"), "--workdir", wd,
+            "--dedup-mode", "both", "--n-buckets", "4",
+            "--bucket-group-size", "4"]
+    got = prun(pargs(base), spark=spark)
+    assert got["dedup"]["rows_out"] <= 300
+    n_scrubbed = spark.read.parquet(f"{wd}/scrubbed").count()
+    assert n_scrubbed == got["dedup"]["rows_out"]
+
+    again = prun(pargs(base), spark=spark)
+    assert again["dedup"] == "skipped (committed output present)"
+    assert again["scrub"]["groups_run"] == 0  # manifest: nothing pending
+    assert spark.read.parquet(f"{wd}/scrubbed").count() == n_scrubbed
