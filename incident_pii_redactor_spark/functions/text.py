@@ -165,3 +165,56 @@ def quality_prefilter(
         (wc >= min_words) & (wc <= max_words)
         & (symbol_ratio(text) <= max_symbol_ratio)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (webtext: cross-snapshot / tracking-param dedup)
+# ---------------------------------------------------------------------------
+
+# scheme://host[:port] prefix (everything before the first /, ? or #)
+URL_HEAD_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+# tracking query params dropped by canonicalization
+URL_TRACK_RE = "[?&](utm_[A-Za-z]+|fbclid|gclid|ref_src)=[^&#]*"
+
+
+def canonical_url(url: str | Column = "url") -> Column:
+    """Canonical form of a web URL, the key for cross-snapshot dedup:
+
+    1. lowercase the scheme://host[:port] prefix,
+    2. strip default ports ``:80`` / ``:443``,
+    3. strip the ``#fragment``,
+    4. strip tracking params (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref_src``), re-promoting the first surviving ``&`` to ``?``,
+    5. strip a trailing ``/`` from the path.
+
+    Pure Catalyst (regexp chain, WholeStageCodegen). The DuckDB twin
+    lives in :func:`canonical_url_sql`; patterns are shared constants and
+    are RE2-safe (no lookaround), so Java regex and RE2 agree. Spark's
+    ``regexp_replace`` replaces ALL matches — the twin passes the ``'g'``
+    flag wherever that matters.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    head_raw = F.regexp_extract(c, URL_HEAD_RE, 0)
+    head = F.regexp_replace(F.lower(head_raw), ":(80|443)$", "")
+    tail = c.substr(F.length(head_raw) + F.lit(1), F.length(c))
+    tail = F.regexp_replace(tail, "#.*", "")
+    tail = F.regexp_replace(tail, URL_TRACK_RE, "")
+    # '/p?utm_x=1&id=3' lost its '?' with the utm param -> '/p&id=3';
+    # promote the first '&' (no '?' before it) back to '?'
+    tail = F.regexp_replace(tail, "^([^?&]*)&", "$1?")
+    tail = F.regexp_replace(tail, "/$", "")
+    return F.concat(head, tail)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` — same constants, same step
+    order; 'g' flags where Spark replaces all; RE2 backref ``\\1`` where
+    Spark uses ``$1``."""
+    head_raw = f"regexp_extract({expr}, '{URL_HEAD_RE}')"
+    head = f"regexp_replace(lower({head_raw}), ':(80|443)$', '')"
+    tail = f"substring({expr}, length({head_raw}) + 1)"
+    tail = f"regexp_replace({tail}, '#.*', '')"
+    tail = f"regexp_replace({tail}, '{URL_TRACK_RE}', '', 'g')"
+    tail = f"regexp_replace({tail}, '^([^?&]*)&', '\\1?')"
+    tail = f"regexp_replace({tail}, '/$', '')"
+    return f"({head} || {tail})"

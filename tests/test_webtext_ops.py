@@ -1,0 +1,208 @@
+"""Round-3 webtext operators: canonical-URL dedup, fastText-style hashed
+linear classifier, DSIR importance weights, HLL distinct sketch."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# canonical_url
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_rules(spark):
+    from incident_pii_redactor_spark.functions.text import canonical_url
+
+    cases = {
+        # scheme+host lowercased, default port stripped, fragment dropped
+        "HTTPS://Example.COM:443/Path/x?utm_source=rss#frag":
+            "https://example.com/Path/x",
+        # leading utm param stripped, surviving '&' re-promoted to '?'
+        "https://a.b/p?utm_campaign=x&id=3": "https://a.b/p?id=3",
+        # :80 stripped, trailing param stripped, gclid stripped
+        "http://H.io:80/p?id=3&utm_medium=email&gclid=z":
+            "http://h.io/p?id=3",
+        # trailing slash stripped (incl. bare root)
+        "https://x.y/only/": "https://x.y/only",
+        "https://x.y/": "https://x.y",
+        # non-tracking params and path case are PRESERVED
+        "https://x.y/P?id=1&ref=2": "https://x.y/P?id=1&ref=2",
+        # non-default port preserved
+        "https://x.y:8443/p": "https://x.y:8443/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"]
+           for r in df.select("url", canonical_url("url").alias("c")).collect()}
+    assert got == cases
+
+
+def test_canonical_url_sql_twin_matches(spark):
+    """The DuckDB twin produces byte-identical canonical forms — the
+    contract the driver's doc_url_canonical_dedup hash check rides on."""
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.text import (
+        canonical_url, canonical_url_sql)
+
+    urls = [
+        "HTTPS://Example.COM:443/Path/x?utm_source=rss#frag",
+        "https://a.b/p?utm_campaign=x&id=3&utm_source=y",
+        "http://H.io:80/p/?id=3&utm_medium=email&fbclid=z",
+        "https://x.y/only/",
+        "https://x.y/p?id=1&ref=2#s",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    want = [
+        duckdb.sql(
+            f"SELECT {canonical_url_sql('url')} FROM (SELECT ? AS url)",
+            params=[u],
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got == want
+
+
+def test_url_canonical_dedup_groups_variants(spark):
+    """Messy variants of the same logical URL collapse to one canonical
+    group whose keeper is the smallest doc_id."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["doc_url_canonical_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    n_docs = _docs(spark).count()
+    assert sum(r["n_dups"] for r in out) == n_docs
+    for r in out:
+        assert r["keep_id"] <= r["latest_id"]
+        u = r["canonical_url"]
+        assert "#" not in u and "utm_" not in u and ":443" not in u
+        assert u == u.split("://")[0].lower() + "://" + u.split("://")[1]
+    assert any(r["n_dups"] > 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+def test_classifier_scores_match_python_model(spark):
+    """Spark scores equal a plain-Python evaluation of the same model —
+    the hashing trick (md5 bucket -> weight) is engine-portable."""
+    from decimal import Decimal
+
+    from incident_pii_redactor_spark.quality.classifier import (
+        VOCAB, bucket_of, classify_quality, weight_rows)
+
+    wmap = dict(weight_rows())
+    rows = [
+        (1, "spark data query join fast"),
+        (2, "slow dup small the a"),
+        (3, "free click subscribe winner casino"),
+        (4, "xyzzy unknowntoken"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in classify_quality(df).collect()}
+
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        sw = sum((wmap.get(bucket_of(t), Decimal(0)) for t in toks),
+                 Decimal(0))
+        want = float(sw) / len(toks) if toks else 0.0
+        assert got[doc_id]["word_count"] == len(toks)
+        assert math.isclose(got[doc_id]["score"], want, abs_tol=1e-12)
+        assert got[doc_id]["keep"] == (want > 0)
+    # sanity on the demo vocab: prose-y beats junk
+    assert got[1]["keep"] and not got[3]["keep"]
+    assert len({bucket_of(t) for t, _ in VOCAB}) == len(VOCAB)
+
+
+def test_classifier_zero_token_doc_scores_zero(spark):
+    from incident_pii_redactor_spark.quality.classifier import classify_quality
+
+    df = spark.createDataFrame(
+        [(1, "   \n\t  "), (2, "spark")], "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in classify_quality(df).collect()}
+    assert got[1]["word_count"] == 0
+    assert got[1]["score"] == 0.0 and got[1]["keep"] is False
+    assert got[2]["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_ranks_topical_docs_first(spark):
+    """On a corpus with genuine topical signal, DSIR must rank every
+    in-domain doc above every off-domain doc — the property importance
+    resampling rides on. (The driver's synthetic documents table has a
+    nearly lang-independent token mix, so the strict ranking check lives
+    here on a constructed corpus; the driver query is value-pinned by
+    its DuckDB oracle.)"""
+    from incident_pii_redactor_spark.quality.dsir import dsir_weights
+
+    sci = ["protein folding enzyme catalysis substrate kinetics",
+           "neuron synapse cortex dendrite plasticity signal",
+           "quantum electron orbital spin entanglement state",
+           "genome sequencing allele mutation expression pathway"]
+    spam = ["free casino bonus click winner jackpot claim now",
+            "cheap pills discount offer subscribe unsubscribe deal",
+            "lottery prize urgent claim transfer bank account",
+            "hot singles click here free trial membership offer"]
+    rows = [(i, t, i < len(sci)) for i, t in enumerate(sci + spam)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+
+    out = {r["doc_id"]: r["dsir_weight"]
+           for r in dsir_weights(df, F.col("tgt")).collect()}
+    sci_ids = range(len(sci))
+    spam_ids = range(len(sci), len(sci) + len(spam))
+    # perfect separation: every in-domain doc above every off-domain doc
+    assert min(out[i] for i in sci_ids) > max(out[i] for i in spam_ids)
+
+
+def test_dsir_driver_query_avg_ordering(spark):
+    """On the driver table the target (en) side must still average a
+    higher weight than off-target — guaranteed by self-selection even
+    with a weak-signal corpus."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["doc_dsir_weights"](spark, sf)
+    langs = _docs(spark).select("doc_id", "lang")
+    avg = {
+        r["is_en"]: r["w"]
+        for r in out.join(langs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_weight").alias("w"))
+        .collect()
+    }
+    assert avg[True] > avg[False]
+
+
+# ---------------------------------------------------------------------------
+# HLL++ sketch accuracy
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_close_to_exact(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    est = {r["lang"]: r["approx_distinct"]
+           for r in entry.queries()["doc_word_hll"](spark, sf).collect()}
+    from incident_pii_redactor_spark.functions.text import words
+
+    exact = {
+        r["lang"]: r["n"]
+        for r in _docs(spark)
+        .select("lang", F.explode(words(F.lower("text"))).alias("w"))
+        .groupBy("lang").agg(F.countDistinct("w").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= max(2, 0.05 * n)
