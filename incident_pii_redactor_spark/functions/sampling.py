@@ -57,3 +57,48 @@ def stratified_deterministic_sample(
             (F.col(strata_col) == stratum) & (bucket < round(frac * _BUCKETS))
         )
     return df.filter(cond)
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-shard layout: every row gets
+    ``(shard bigint, pos bigint)`` where shard = hash bucket of the key
+    and pos = that row's rank within its shard by (hash, key) — i.e. a
+    reproducible GLOBAL shuffle of the corpus into n_shards fixed files,
+    the standard prerequisite for resumable LLM training input (epoch
+    order must not depend on Spark partitioning, retries, or cluster
+    size).
+
+    Scale shape: one shuffle on the shard key, then a per-shard sort —
+    each window sorts ~corpus/n_shards rows (pick n_shards so a shard
+    fits an executor: 10^12 docs / 10^5 shards = 10^7 rows per sort,
+    disk-backed). No global orderBy (a single-reducer total sort is the
+    anti-pattern this replaces); hash keys make shard sizes uniform —
+    no skew by construction. Writers follow with
+    ``.repartition('shard').sortWithinPartitions('pos')`` +
+    ``partitionBy('shard')``.
+
+    DuckDB twin: same md5 recipe + ROW_NUMBER() OVER (PARTITION BY shard
+    ORDER BY h, key).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    from incident_pii_redactor_spark.functions.dedup import md5_int
+
+    h = md5_int(
+        F.concat(F.col(key_col).cast("string"), F.lit(str(seed))),
+        1 << 60,
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("bigint"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_h")
+    )

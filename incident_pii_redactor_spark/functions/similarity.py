@@ -215,7 +215,11 @@ def train_ivf_centroids(
 
     def mean_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_i")
-        mat = np.stack(pdf["_v"].to_numpy())
+        # float64 BEFORE the mean: Arrow delivers array<float> as
+        # float32 — a float32 mean drifts ~1e-8 from the float64 fixture
+        # replay (caught by emb_pq_codes' continuous recon_err; discrete
+        # argmax paths masked it here)
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         return pd.DataFrame({"_b": [int(pdf["_b"].iloc[0])],
                              "centroid": [mat.mean(axis=0).tolist()]})
 
@@ -392,3 +396,133 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """L2 norm per vector — JVM-side. DuckDB twin: sqrt(list_sum(...))."""
     return df.select(F.col(id_col), F.round(norm(F.col(vec_col)), 6).alias("l2_norm"))
+
+
+# --- product quantization (IVF's companion: vector compression) -------------
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+) -> list[np.ndarray]:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` subvectors and learn ``<=ksub`` centroids per
+    subspace. Training uses the SAME deterministic one-step sign-bucket
+    k-means as ``train_ivf_centroids`` (per-subspace hyperplanes seeded
+    ``seed + j``, bucket rows sorted by id before the numpy mean), so
+    codebooks — and everything encoded through them — are
+    bit-reproducible, which is what lets the driver gate check
+    ``emb_pq_codes`` against a golden fixture.
+
+    Returns a list of ``m`` (n_codes_j, dsub) arrays; code k in subspace
+    j is row k (buckets sorted ascending — empty sign-buckets simply
+    yield fewer codes, never a hole). At 10^9 vectors you'd train on a
+    deterministic hash-sample (functions/sampling.py) — training cost is
+    one narrow pass + a groupBy bounded by m*ksub groups."""
+    if dim is None:
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+        if first is None:
+            raise ValueError("train_pq_codebooks: no non-null embeddings")
+        dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    n_planes = max(1, int(math.log2(ksub)))
+    planes = [_hyperplanes(dsub, n_planes, seed + j) for j in range(m)]
+    planes_arr = np.stack(planes)  # (m, n_planes, dsub)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        out = np.zeros((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            signs = (sub @ planes_arr[j].T) > 0  # (n, n_planes)
+            out[:, j] = signs @ (1 << np.arange(n_planes))
+        return pd.Series(list(out))
+
+    def mean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_i")
+        j = int(pdf["_j"].iloc[0])
+        # float64 BEFORE the mean (same reason as train_ivf_centroids)
+        sub = np.stack(pdf["_v"].to_numpy()).astype(np.float64)[
+            :, j * dsub:(j + 1) * dsub]
+        return pd.DataFrame({
+            "_j": [j], "_b": [int(pdf["_b"].iloc[0])],
+            "centroid": [sub.mean(axis=0).tolist()],
+        })
+
+    got = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .withColumn("_bs", buckets(F.col("_v")))
+        .select("_i", "_v", F.posexplode("_bs").alias("_j", "_b"))
+        .groupBy("_j", "_b")
+        .applyInPandas(mean_group, schema="_j int, _b int, centroid array<double>")
+        .collect()
+    )
+    books: list[np.ndarray] = []
+    for j in range(m):
+        rows = sorted((r for r in got if r._j == j), key=lambda r: r._b)
+        if not rows:
+            raise ValueError(f"train_pq_codebooks: subspace {j} is empty")
+        books.append(np.array([r.centroid for r in rows]))
+    return books
+
+
+def pq_encode_udf(codebooks: list[np.ndarray]):
+    """embedding -> (codes array<int>, recon_err double): per subspace
+    the L2-nearest centroid index (ties -> lowest, np.argmin), plus the
+    full-vector reconstruction L2 error. One matmul per subspace per
+    Arrow batch; codebooks travel in the closure (m*ksub*dsub doubles —
+    KBs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+
+    @pandas_udf("struct<codes: array<int>, recon_err: double>")
+    def encode(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        codes = np.zeros((len(mat), m), dtype=np.int32)
+        recon = np.zeros_like(mat)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            c = codebooks[j]
+            # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 ; ||x||^2 constant per row
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+            codes[:, j] = d2.argmin(axis=1)
+            recon[:, j * dsub:(j + 1) * dsub] = c[codes[:, j]]
+        err = np.sqrt(((mat - recon) ** 2).sum(axis=1))
+        return pd.DataFrame({"codes": list(codes), "recon_err": err})
+
+    return encode
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    ksub: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, code string 'c0|c1|...', recon_err double round-6): the PQ
+    compression table. At scale this replaces 4*dim bytes per vector
+    with m bytes (+ one shared codebook), the standard memory shape for
+    billion-vector ANN (IVF selects lists, PQ scores them)."""
+    books = train_pq_codebooks(df, vec_col, m, ksub, seed, id_col=id_col)
+    enc = pq_encode_udf(books)
+    return (
+        df.withColumn("_e", enc(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.array_join(F.col("_e.codes"), "|").alias("code"),
+            F.round(F.col("_e.recon_err"), 6).alias("recon_err"),
+        )
+    )

@@ -206,3 +206,88 @@ def test_hll_estimate_close_to_exact(spark):
     assert set(est) == set(exact)
     for lang, n in exact.items():
         assert abs(est[lang] - n) <= max(2, 0.05 * n)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_exact_centroid_reconstructs_exactly(spark):
+    """A vector that IS one of its subspace centroids must encode to that
+    centroid with zero subspace error — argmin correctness at the fixed
+    point."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import (
+        pq_encode_udf, train_pq_codebooks)
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(df)
+    probe = np.concatenate([b[0] for b in books])  # code 0 in every subspace
+    pdf = spark.createDataFrame(
+        [(0, [float(x) for x in probe])],
+        "vec_id bigint, embedding array<double>")
+    enc = pq_encode_udf(books)
+    row = pdf.select(enc("embedding").alias("e")).head()["e"]
+    assert list(row["codes"]) == [0, 0, 0, 0]
+    assert row["recon_err"] == 0.0
+
+
+def test_pq_compresses_with_bounded_distortion(spark):
+    """Reconstruction error must beat the no-model baseline (distance to
+    the global mean) for most vectors — i.e. the codebooks actually
+    learned structure; and codes must use a spread of values."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import pq_codes
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_codes(df).collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    mean = np.mean(np.stack(list(vecs.values())), axis=0)
+    base = {vid: float(np.linalg.norm(v - mean)) for vid, v in vecs.items()}
+    better = sum(r["recon_err"] < base[r["vec_id"]] for r in out)
+    assert better / len(out) > 0.9
+    for j in range(4):
+        assert len({r["code"].split("|")[j] for r in out}) >= 8
+
+
+def test_pq_codes_deterministic_across_runs(spark):
+    from incident_pii_redactor_spark.functions.similarity import pq_codes
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted((r["vec_id"], r["code"], r["recon_err"])
+               for r in pq_codes(df).collect())
+    b = sorted((r["vec_id"], r["code"], r["recon_err"])
+               for r in pq_codes(df.repartition(7)).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# shard assignment
+# ---------------------------------------------------------------------------
+
+def test_shard_assignment_partition_invariant(spark):
+    """(shard, pos) must be a pure function of the data — identical
+    under any input partitioning (the property that makes training
+    epochs resumable)."""
+    from incident_pii_redactor_spark.functions.sampling import shard_assignment
+
+    d = _docs(spark).select("doc_id")
+    a = sorted((r["doc_id"], r["shard"], r["pos"])
+               for r in shard_assignment(d, 8, "doc_id").collect())
+    b = sorted((r["doc_id"], r["shard"], r["pos"])
+               for r in shard_assignment(d.repartition(13), 8, "doc_id")
+               .collect())
+    assert a == b
+    n = len(a)
+    # every row assigned, positions dense 0..size-1 per shard
+    shards = {}
+    for _, s, p in a:
+        shards.setdefault(s, []).append(p)
+    assert sum(len(v) for v in shards.values()) == n
+    for s, ps in shards.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # hash sharding balances: no shard more than 3x the ideal size
+    assert max(len(v) for v in shards.values()) <= 3 * (n / 8)

@@ -210,6 +210,70 @@ def make_ivf_ann_fixture(sf_dir: str, out_path: str, k: int = 10,
     return len(top)
 
 
+def make_pq_fixture(sf_dir: str, out_path: str, m: int = 4,
+                    ksub: int = 16, seed: int = 42) -> int:
+    """Replay ``functions.similarity.pq_codes`` without Spark: same
+    sign-bucket codebook training (per-subspace planes seeded seed+j,
+    buckets from a whole-corpus matmul, per-bucket mean over vec_id-
+    sorted full vectors sliced to the subspace) and the same
+    ||c||^2 - 2 x.c argmin encode. At sf0.01 the 500-row corpus is one
+    Arrow batch, so these whole-corpus numpy calls are literally the
+    calls the pandas UDFs make."""
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.similarity import _hyperplanes
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dim = mat.shape[1]
+    dsub = dim // m
+    n_planes = max(1, int(math_log2_int(ksub)))
+    planes_arr = np.stack([_hyperplanes(dsub, n_planes, seed + j)
+                           for j in range(m)])
+
+    # --- train: bucket per subspace (batch matmul), sorted-mean ---
+    books = []
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        signs = (sub @ planes_arr[j].T) > 0
+        buckets = signs @ (1 << np.arange(n_planes))
+        cents = []
+        for b in sorted(set(int(x) for x in buckets)):
+            grp = mat[buckets == b]  # ids are pre-sorted ascending
+            cents.append(grp[:, j * dsub:(j + 1) * dsub].mean(axis=0))
+        books.append(np.array(cents))
+
+    # --- encode: same d2 expression, argmin, reconstruction ---
+    codes = np.zeros((len(mat), m), dtype=np.int32)
+    recon = np.zeros_like(mat)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        c = books[j]
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+        codes[:, j] = d2.argmin(axis=1)
+        recon[:, j * dsub:(j + 1) * dsub] = c[codes[:, j]]
+    err = np.sqrt(((mat - recon) ** 2).sum(axis=1))
+
+    table = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "code": pa.array(["|".join(str(int(x)) for x in row)
+                          for row in codes], pa.string()),
+        "recon_err": pa.array([spark_round6(e) for e in err], pa.float64()),
+    })
+    pq.write_table(table, out_path)
+    return len(ids)
+
+
+def math_log2_int(x: int) -> int:
+    import math
+
+    return int(math.log2(x))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -222,9 +286,12 @@ def main() -> None:
         sf_dir, os.path.join(out_dir, f"emb_lsh_ann_{sf_tag}.parquet"))
     n3 = make_ivf_ann_fixture(
         sf_dir, os.path.join(out_dir, f"emb_ivf_ann_{sf_tag}.parquet"))
+    n4 = make_pq_fixture(
+        sf_dir, os.path.join(out_dir, f"emb_pq_codes_{sf_tag}.parquet"))
     print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
           f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows), "
-          f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows) to {out_dir}")
+          f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows), "
+          f"emb_pq_codes_{sf_tag}.parquet ({n4} rows) to {out_dir}")
 
 
 if __name__ == "__main__":
