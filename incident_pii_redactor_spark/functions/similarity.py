@@ -526,3 +526,70 @@ def pq_codes(
             F.round(F.col("_e.recon_err"), 6).alias("recon_err"),
         )
     )
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 42,
+    rerank: int = 10,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) shortlist + exact rerank —
+    the query-side half of IVF-PQ. The query builds one tiny
+    per-subspace lookup table ``lut[j][c] = ||q_j - centroid_c||^2``
+    driver-side; every stored vector is scored by summing m table
+    lookups over its CODES — the shortlist scan never touches the
+    embedding column (m bytes/row instead of 4*dim; the LUT rides the
+    plan as array literals, pure Catalyst element_at + sum). The
+    ``k * rerank`` ADC-nearest candidates are then reranked by EXACT L2
+    over their real embeddings — the standard two-stage shape (PQ is a
+    candidate generator; iid-random corpora like the test tables are
+    its adversarial worst case, which reranking absorbs).
+
+    Returns (id, l2_dist round-6) ascending, exact over the shortlist.
+    In production the codes table is precomputed (``pq_codes``) and
+    stage 1 scans ONLY (id, codes); training is in-line here for
+    self-containment."""
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    books = train_pq_codebooks(df, vec_col, m, ksub, seed, id_col=id_col)
+    dsub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    luts = []
+    for j in range(m):
+        qj = q[j * dsub:(j + 1) * dsub]
+        luts.append(((books[j] - qj[None, :]) ** 2).sum(axis=1))
+
+    enc = pq_encode_udf(books)
+    coded = df.withColumn("_codes", enc(F.col(vec_col)).getField("codes"))
+    adc = None
+    for j in range(m):
+        lut = F.array(*[F.lit(float(v)) for v in luts[j]])
+        term = F.element_at(lut, F.col("_codes")[j] + 1)
+        adc = term if adc is None else adc + term
+    shortlist = (
+        coded.select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(k * rerank)
+    )
+    # exact L2 on the tiny shortlist only (broadcast semi-join back to
+    # the embeddings; k*rerank rows)
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    diff2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qcol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .select(F.col(id_col), F.round(F.sqrt(diff2), 6).alias("l2_dist"))
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
+    )

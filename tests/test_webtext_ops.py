@@ -291,3 +291,26 @@ def test_shard_assignment_partition_invariant(spark):
         assert sorted(ps) == list(range(len(ps)))
     # hash sharding balances: no shard more than 3x the ideal size
     assert max(len(v) for v in shards.values()) <= 3 * (n / 8)
+
+
+def test_pq_ann_rerank_recovers_exact_topk(spark):
+    """ADC shortlist + exact rerank must recover the exact L2 top-10 on
+    the (adversarially iid-random) test embeddings — the two-stage
+    contract: PQ generates candidates, reranking restores exactness."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import pq_ann_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = df.filter(F.col("vec_id") == 0).head()["embedding"]
+    corpus = df.filter(F.col("vec_id") != 0)
+    got = [r["vec_id"] for r in pq_ann_topk(corpus, list(qv), k=10).collect()]
+
+    q = np.asarray(qv, dtype=np.float64)
+    d = sorted(
+        (float(np.linalg.norm(np.asarray(r["embedding"], np.float64) - q)),
+         r["vec_id"])
+        for r in corpus.collect()
+    )
+    exact10 = {v for _, v in d[:10]}
+    assert len(set(got) & exact10) >= 9  # >=90% recall after rerank
