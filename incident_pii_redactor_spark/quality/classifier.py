@@ -146,3 +146,85 @@ def weights_values_sql() -> str:
     return ", ".join(
         f"({b}, CAST({w} AS DECIMAL(6,2)))" for b, w in weight_rows()
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine distillation: multinomial Naive Bayes from integer counts
+# ---------------------------------------------------------------------------
+
+def train_nb_weights(
+    df: DataFrame,
+    is_positive: Column,
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+) -> DataFrame:
+    """Train a multinomial-NB token classifier IN the engine — the
+    distillation step FineWeb-Edu/DCLM run offline (label a corpus with
+    an expensive judge, fit a fast linear model on hashed tokens, score
+    everything with the cheap model). Here the weights are per-bucket
+    log-odds ``LN((c_pos+1)/(t_pos+D)) - LN((c_neg+1)/(t_neg+D))`` from
+    INTEGER counts only, so training is exactly reproducible (no SGD,
+    no float accumulation order); same fused-model shape as
+    ``quality/dsir.py`` (NB contrasts pos vs neg where DSIR contrasts
+    target vs raw).
+
+    Returns (bucket, c_pos, c_neg, w) — bounded by ``n_buckets`` rows,
+    broadcast-sized by construction. Corpus totals ride in via an
+    unpartitioned window over the BUCKET table, never the corpus.
+    """
+    from incident_pii_redactor_spark.functions.dedup import md5_int
+
+    toks = (
+        df.select(is_positive.alias("_pos"),
+                  F.explode(words_lower(text_col)).alias("tok"))
+        .select("_pos", md5_int(F.col("tok"), n_buckets).alias("bucket"))
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()  # bounded: <= n_buckets rows
+    cnt = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("c_neg"),
+    )
+    dD = F.lit(float(n_buckets))
+    return (
+        cnt.withColumn("t_pos", F.sum("c_pos").over(w_all))
+        .withColumn("t_neg", F.sum("c_neg").over(w_all))
+        .select(
+            "bucket", "c_pos", "c_neg",
+            (F.log((F.col("c_pos") + 1) / (F.col("t_pos") + dD))
+             - F.log((F.col("c_neg") + 1) / (F.col("t_neg") + dD))).alias("w"),
+        )
+    )
+
+
+def classify_nb(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+) -> DataFrame:
+    """Score docs with a trained NB weight table: mean per-token
+    log-odds (ROUND 6 per the repo float-sum policy), keep iff > 0.
+    One broadcast join + one per-doc partial-sum groupBy; docs with
+    zero tokens are absent (they have no token evidence)."""
+    from incident_pii_redactor_spark.functions.dedup import md5_int
+
+    toks = (
+        df.select(F.col(id_col), F.explode(words_lower(text_col)).alias("tok"))
+        .select(id_col, md5_int(F.col("tok"), n_buckets).alias("bucket"))
+    )
+    return (
+        toks.join(F.broadcast(weights.select("bucket", "w")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("w") / F.count("*"), 6).alias("nb_score"),
+        )
+        .withColumn("keep_distilled", F.col("nb_score") > 0)
+    )
+
+
+def words_lower(text_col: str) -> Column:
+    return words(F.lower(F.col(text_col)))

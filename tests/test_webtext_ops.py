@@ -314,3 +314,50 @@ def test_pq_ann_rerank_recovers_exact_topk(spark):
     )
     exact10 = {v for _, v in d[:10]}
     assert len(set(got) & exact10) >= 9  # >=90% recall after rerank
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes distillation
+# ---------------------------------------------------------------------------
+
+def test_nb_distillation_generalizes_to_heldout(spark):
+    """Train the NB token model on labeled docs, then score HELD-OUT
+    docs that share vocabulary: in-domain held-out docs must score
+    positive, junk held-out docs negative — the distillation contract
+    (the cheap model reproduces the judge's decisions on unseen data)."""
+    from incident_pii_redactor_spark.quality.classifier import (
+        classify_nb, train_nb_weights)
+
+    train_rows = [
+        (0, "protein folding enzyme catalysis substrate kinetics", True),
+        (1, "neuron synapse cortex dendrite plasticity signal", True),
+        (2, "quantum electron orbital spin entanglement state", True),
+        (3, "free casino bonus click winner jackpot claim now", False),
+        (4, "cheap pills discount offer subscribe unsubscribe deal", False),
+        (5, "lottery prize urgent claim transfer bank account", False),
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id bigint, text string, label boolean")
+    w = train_nb_weights(train, F.col("label"))
+
+    heldout = spark.createDataFrame(
+        [(100, "enzyme substrate neuron orbital signal state"),
+         (101, "free bonus click subscribe deal account")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in classify_nb(heldout, w).collect()}
+    assert got[100]["keep_distilled"] is True
+    assert got[101]["keep_distilled"] is False
+    assert got[100]["nb_score"] > 0 > got[101]["nb_score"]
+
+
+def test_nb_training_deterministic_across_partitionings(spark):
+    from incident_pii_redactor_spark.quality.classifier import train_nb_weights
+    from incident_pii_redactor_spark.functions.text import quality_prefilter
+
+    d = _docs(spark)
+    lab = quality_prefilter("text", min_words=20)
+    a = sorted((r["bucket"], r["c_pos"], r["c_neg"], r["w"])
+               for r in train_nb_weights(d, lab).collect())
+    b = sorted((r["bucket"], r["c_pos"], r["c_neg"], r["w"])
+               for r in train_nb_weights(d.repartition(11), lab).collect())
+    assert a == b and len(a) > 0
