@@ -361,3 +361,26 @@ def test_nb_training_deterministic_across_partitionings(spark):
     b = sorted((r["bucket"], r["c_pos"], r["c_neg"], r["w"])
                for r in train_nb_weights(d.repartition(11), lab).collect())
     assert a == b and len(a) > 0
+
+
+def test_pack_blocks_offsets_contiguous(spark):
+    """Within each shard, token offsets must tile exactly (each doc
+    starts where the previous ended) and block ids must be the floor of
+    offset/2048 — the packed-dataset invariant a training loader relies
+    on."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["doc_pack_blocks"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        expect = 0
+        for r in rows:
+            assert r["tok_offset"] == expect
+            assert r["block_id"] == r["tok_offset"] // 2048
+            assert r["n_tok"] > 0
+            expect += r["n_tok"]
