@@ -129,14 +129,21 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0,
 def streaming_exact_dedup(pages: DataFrame, text_col: str = "text",
                           ttl_ms: int = 0, event_ttl_ms: int = 0,
                           ts_col: str = "warc_ts",
-                          watermark_delay: str = "10 minutes") -> DataFrame:
-    """First occurrence per content fingerprint across the whole stream.
+                          watermark_delay: str = "10 minutes",
+                          key_expr=None) -> DataFrame:
+    """First occurrence per dedup key across the whole stream. The key
+    defaults to the content fingerprint (md5 of normalized text) but is
+    any JVM-side Column via ``key_expr`` — e.g.
+    ``canonical_url('url')`` turns this into streaming cross-snapshot
+    URL dedup (a crawler re-fetching the same page under tracking-param
+    variants) with zero operator changes.
     Input: streaming DataFrame with url/text[/ts_col]. TTL modes: see
     module docstring — ``event_ttl_ms`` (event-time, recommended),
     ``ttl_ms`` (processing-time, continuous only), both 0 = unbounded."""
     if event_ttl_ms > 0:
         pages = pages.withWatermark(ts_col, watermark_delay)
-    keyed = pages.withColumn("_fp", fingerprint(text_col))
+    key = key_expr if key_expr is not None else fingerprint(text_col)
+    keyed = pages.withColumn("_fp", key)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pages.schema.fields

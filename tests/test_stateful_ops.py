@@ -104,3 +104,53 @@ def test_pseudonym_consistency_cross_doc(spark):
         .filter(F.col("n") > 1)
     )
     assert bad.count() == 0
+
+
+def test_streaming_canonical_url_dedup(spark, tmp_path):
+    """key_expr turns the stateful dedup into cross-snapshot URL dedup:
+    re-fetches of the same canonical URL (tracking params, fragments,
+    host case) are suppressed across microbatches even when their TEXT
+    differs (snapshot drift)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.functions.text import canonical_url
+
+    d = tmp_path / "in"
+    d.mkdir()
+    ts = dt.datetime(2025, 1, 1)
+    mk = lambda rows: pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(mk([
+        ("https://News.example/story/1?utm_source=rss", ts, b"", "v1 text", "en"),
+        ("https://news.example/other/2", ts, b"", "other page", "en"),
+    ]), str(d / "b1.parquet"))
+    pq.write_table(mk([
+        # same canonical URL as /story/1, later snapshot, different text
+        ("HTTPS://news.example/story/1#frag", ts, b"", "v2 text drifted", "en"),
+        ("https://news.example/fresh/3", ts, b"", "fresh page", "en"),
+    ]), str(d / "b2.parquet"))
+
+    pages = read_pages_stream(spark, str(d), max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(pages, key_expr=canonical_url("url"))
+    q = (
+        deduped.writeStream.format("memory").queryName("urldedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = sorted(r.url for r in spark.sql(
+        "select * from urldedup_out").collect())
+    assert got == [
+        "https://News.example/story/1?utm_source=rss",
+        "https://news.example/fresh/3",
+        "https://news.example/other/2",
+    ]
