@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--mode", choices=("exact", "near", "both"), default="both")
+    p.add_argument("--against", default=None,
+                   help="existing corpus (parquet pages table): drop new "
+                        "rows whose content hash already appears there "
+                        "BEFORE intra-snapshot dedup — incremental "
+                        "ingestion of a new crawl snapshot against the "
+                        "historical corpus")
     p.add_argument("--shingle-words", type=int, default=3)
     p.add_argument("--n-perm", type=int, default=8)
     p.add_argument("--bands", type=int, default=4)
@@ -84,6 +90,21 @@ def run(args, spark=None) -> dict:
     try:
         df = read_pages(spark, args.input)
         stats = {"rows_in": df.count()}
+
+        if args.against:
+            # Incremental snapshot ingestion: anti-join the NEW
+            # snapshot's content hashes against the historical corpus.
+            # Both sides project to the 32-hex hash only (text never
+            # shuffles); the join is a plain sort-merge anti on uniform
+            # hash keys — no skew. At 10^12 docs the history side is a
+            # precomputed hash INDEX (store hashes once, not re-hash
+            # the corpus each snapshot); reading the pages table here
+            # keeps the job self-contained.
+            hist = (read_pages(spark, args.against)
+                    .select(content_hash("text").alias("_h")).distinct())
+            df = (df.withColumn("_h", content_hash("text"))
+                  .join(hist, "_h", "left_anti").drop("_h"))
+            stats["rows_after_against"] = df.count()
 
         if args.mode in ("exact", "both"):
             keepers = (

@@ -370,3 +370,44 @@ def test_pipeline_job_end_to_end_and_stage_skip(spark, tmp_path_factory):
     assert again["dedup"] == "skipped (committed output present)"
     assert again["scrub"]["groups_run"] == 0  # manifest: nothing pending
     assert spark.read.parquet(f"{wd}/scrubbed").count() == n_scrubbed
+
+
+def test_dedup_job_incremental_against_history(spark, tmp_path_factory):
+    """--against drops new-snapshot rows whose content already exists in
+    the historical corpus, before intra-snapshot dedup."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("incdedup")
+    ts = dt.datetime(2025, 1, 1)
+    mk = lambda rows, path: pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), path)
+
+    mk([("https://h/1", ts, b"", "historical article about shuffles", "en"),
+        ("https://h/2", ts, b"", "another old page on broadcast joins", "en")],
+       str(d / "history.parquet"))
+    mk([  # new snapshot: one re-crawl of h/1's content, one genuinely new
+        ("https://n/1", ts, b"", "historical article about shuffles", "en"),
+        ("https://n/2", ts, b"", "a brand new page about watermarks", "en"),
+        ("https://n/3", ts, b"", "a brand new page about watermarks", "en"),
+    ], str(d / "new.parquet"))
+
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "new.parquet"),
+         "--against", str(d / "history.parquet"),
+         "--output", str(d / "out"), "--mode", "exact"]), spark=spark)
+    assert stats["rows_in"] == 3
+    assert stats["rows_after_against"] == 2  # n/1 dropped vs history
+    assert stats["rows_out"] == 1            # n/3 dropped vs n/2 in-snapshot
+    urls = {r.url for r in spark.read.parquet(str(d / "out")).collect()}
+    assert urls == {"https://n/2"}
