@@ -57,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--bucket-group-size", type=int, default=8)
     p.add_argument("--completed-ts", default="2025-01-01T00:00:00")
+    p.add_argument("--from-html", action="store_true",
+                   help="derive text = extract_text(html) instead of the "
+                        "pre-extracted text column (functions/html.py; "
+                        "the raw-crawl ingestion path)")
     p.add_argument("--salt", action="store_true",
                    help="salted repartition on url before scrubbing")
     p.add_argument("--num-partitions", type=int, default=0,
@@ -83,7 +87,15 @@ def run(args, spark=None) -> dict:
     if args.ignore_corrupt_files:
         spark.conf.set(_corrupt_key, "true")
     try:
-        df = with_bucket(read_pages(spark, args.input), "url", args.n_buckets)
+        df = read_pages(spark, args.input)
+        if args.from_html:
+            from incident_pii_redactor_spark.functions.html import extract_text
+
+            # NOTE: this re-materializes text from html, so the scrub
+            # operator's html-column pruning no longer applies to this
+            # run — the scan must read html by definition of the path
+            df = df.withColumn("text", extract_text("html"))
+        df = with_bucket(df, "url", args.n_buckets)
         manifest = read_manifest(spark, args.manifest)
         todo = pending(df, manifest, args.run_id)
 

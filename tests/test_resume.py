@@ -411,3 +411,18 @@ def test_dedup_job_incremental_against_history(spark, tmp_path_factory):
     assert stats["rows_out"] == 1            # n/3 dropped vs n/2 in-snapshot
     urls = {r.url for r in spark.read.parquet(str(d / "out")).collect()}
     assert urls == {"https://n/2"}
+
+
+def test_scrub_job_from_html_equals_text_path(spark, pages_parquet,
+                                              tmp_path_factory, cold_run):
+    """--from-html re-derives text via functions/html.extract_text; on
+    the synthetic crawl (where extraction reproduces the text column
+    byte-for-byte) the job output must equal the default path's."""
+    d = tmp_path_factory.mktemp("fromhtml")
+    stats = run(parse_args(
+        ["--input", pages_parquet, "--output", str(d / "out"),
+         "--manifest", str(d / "mf"), "--n-buckets", "8",
+         "--bucket-group-size", "8", "--from-html"]), spark=spark)
+    assert stats["buckets_done"] == 8
+    got = _read_all(spark, str(d / "out"))
+    pd.testing.assert_frame_equal(got, cold_run)

@@ -384,3 +384,58 @@ def test_pack_blocks_offsets_contiguous(spark):
             assert r["block_id"] == r["tok_offset"] // 2048
             assert r["n_tok"] > 0
             expect += r["n_tok"]
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+def test_extract_text_rules(spark):
+    from incident_pii_redactor_spark.functions.html import extract_text
+
+    cases = {
+        b"<html><head><title>T</title><script>var a='<p>x</p>';</script>"
+        b"<style>p{}</style></head><body><p>Para one</p>"
+        b"<!-- hidden --><ul><li>one</li><li>two</li></ul></body></html>":
+            "T\nPara one\none\ntwo",
+        b"<div>a<br>b<BR/>c</div>": "a\nb\nc",
+        b"plain text": "plain text",
+        # entities decode AFTER tag strip; &amp;lt; must NOT double-decode
+        b"<p>x &amp; y &lt;z&gt; &amp;lt;</p>": "x & y <z> &lt;",
+        b"<td>cell</td><th>hdr</th>": "cell\nhdr",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "html binary")
+    got = [r[0] for r in df.select(extract_text("html")).collect()]
+    assert got == list(cases.values())
+
+
+def test_extract_text_sql_twin_byte_identical(spark):
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.html import (
+        extract_text, extract_text_sql)
+
+    blobs = [
+        b"<html><body><h1>A</h1><p>b &quot;c&quot; d</p><script>no</script>"
+        b"</body></html>",
+        b"<DIV>Upper<HR>case</DIV><p>tail",
+        b"<p>multi   space\tand\ttabs</p>",
+    ]
+    df = spark.createDataFrame([(b,) for b in blobs], "html binary")
+    got = [r[0] for r in df.select(extract_text("html")).collect()]
+    sql = extract_text_sql("html")
+    want = [duckdb.sql(f"SELECT {sql} FROM (SELECT ?::BLOB AS html)",
+                       params=[b]).fetchone()[0] for b in blobs]
+    assert got == want
+
+
+def test_extract_text_pages_roundtrip(spark, pages_parquet):
+    """North-rule invariant on the synthetic crawl: extracting from the
+    html column reproduces the stored text column byte-for-byte for
+    every page."""
+    from incident_pii_redactor_spark.functions.html import extract_text
+
+    pages = spark.read.parquet(pages_parquet)
+    bad = (pages.withColumn("_ex", extract_text("html"))
+           .filter(F.col("_ex") != F.col("text")).count())
+    assert bad == 0
