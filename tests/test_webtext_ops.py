@@ -439,3 +439,17 @@ def test_extract_text_pages_roundtrip(spark, pages_parquet):
     bad = (pages.withColumn("_ex", extract_text("html"))
            .filter(F.col("_ex") != F.col("text")).count())
     assert bad == 0
+
+
+def test_source_quality_rollup_flags_junk_hosts(spark):
+    """A host whose pages are mostly junk gets blocklisted; a mostly-
+    clean host does not (page scores from the distilled NB model)."""
+    import __spark_entry__ as entry
+
+    out = {r["source"]: r for r in entry.queries()
+           ["doc_source_quality_rollup"](spark, "/root/testdata/sf0.001")
+           .collect()}
+    assert sum(r["n_docs"] for r in out.values()) == 500
+    for r in out.values():
+        assert r["blocklisted"] == (r["n_keep"] * 2 < r["n_docs"])
+        assert 0 <= r["n_keep"] <= r["n_docs"]
