@@ -453,3 +453,40 @@ def test_source_quality_rollup_flags_junk_hosts(spark):
     for r in out.values():
         assert r["blocklisted"] == (r["n_keep"] * 2 < r["n_docs"])
         assert 0 <= r["n_keep"] <= r["n_docs"]
+
+
+def test_ccnet_buckets_proportions(spark):
+    """Per language, ~30% head / ~40% middle / ~30% tail (exact cuts on
+    percent_rank with total-order tie-break)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["doc_ccnet_buckets"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["bucket"])
+    for lang, buckets in by_lang.items():
+        n = len(buckets)
+        frac_head = buckets.count("head") / n
+        frac_tail = buckets.count("tail") / n
+        assert 0.2 <= frac_head <= 0.4, (lang, frac_head)
+        assert 0.2 <= frac_tail <= 0.4, (lang, frac_tail)
+
+
+def test_histogram_quantiles_match_exact(spark):
+    """The histogram quantile must equal the exact percentile rounded
+    DOWN to its bin — correctness of the cumulative-histogram readoff."""
+    import math
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["quantile"]: r["value_floor"]
+           for r in entry.queries()["events_value_quantiles"](spark, sf)
+           .collect()}
+    vals = sorted(r["value"] for r in spark.read.parquet(
+        f"{sf}/events.parquet").select("value").collect())
+    n = len(vals)
+    for name, q in (("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
+        exact = vals[math.ceil(n * q) - 1]
+        assert got[name] == math.floor(exact / 0.25) * 0.25
