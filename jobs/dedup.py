@@ -73,6 +73,10 @@ def parse_args(argv=None):
                         "one join; the algorithm needs graph diameter + 1 "
                         "rounds, and raises rather than returning an "
                         "under-merged labeling if exceeded)")
+    p.add_argument("--url-canonical", action="store_true",
+                   help="FIRST dedup cross-snapshot re-crawls: group by "
+                        "canonical URL (functions/text.py:canonical_url) "
+                        "and keep the newest warc_ts (ties -> max url)")
     p.add_argument("--paragraph", action="store_true",
                    help="ALSO dedup at paragraph granularity (CCNet): "
                         "corpus-wide repeated paragraphs are removed and "
@@ -105,6 +109,27 @@ def run(args, spark=None) -> dict:
             df = (df.withColumn("_h", content_hash("text"))
                   .join(hist, "_h", "left_anti").drop("_h"))
             stats["rows_after_against"] = df.count()
+
+        if args.url_canonical:
+            # latest-wins per canonical URL: one hash-aggregate carrying
+            # (canonical, ts, url) — no window, no skew (a max per group
+            # is a map-side-combinable agg even for a hot URL). Rows
+            # sharing (url, warc_ts) byte-identically fall through to
+            # the exact stage.
+            from incident_pii_redactor_spark.functions.text import (
+                canonical_url,
+            )
+
+            keyed = df.withColumn("_cu", canonical_url("url"))
+            keep = (
+                keyed.groupBy("_cu")
+                .agg(F.max(F.struct("warc_ts", "url")).alias("k"))
+                .select(F.col("k.url").alias("url"),
+                        F.col("k.warc_ts").alias("warc_ts"))
+            )
+            df = (keyed.join(keep, ["url", "warc_ts"], "left_semi")
+                  .drop("_cu"))
+            stats["rows_after_url_canonical"] = df.count()
 
         if args.mode in ("exact", "both"):
             keepers = (

@@ -68,3 +68,18 @@ def test_allpairs_oracle_is_capped():
         assert "emb_near_dup_pairs_lsh" in str(e) or "banded" in str(e)
     else:
         raise AssertionError("cap did not raise")
+
+
+def test_model_scoring_queries_broadcast_their_model(spark):
+    """The broadcast-model scorers must plan a BroadcastHashJoin for the
+    model lookup — a silent fall-through to sort-merge would shuffle the
+    exploded token corpus on the bucket key (the exact plan these
+    operators exist to avoid)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("doc_quality_classifier", "doc_dsir_weights",
+                 "doc_nb_distilled", "doc_benchmark_decontamination"):
+        plan = qs[name](spark, SF)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast"

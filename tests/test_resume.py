@@ -426,3 +426,38 @@ def test_scrub_job_from_html_equals_text_path(spark, pages_parquet,
     assert stats["buckets_done"] == 8
     got = _read_all(spark, str(d / "out"))
     pd.testing.assert_frame_equal(got, cold_run)
+
+
+def test_dedup_job_url_canonical_latest_wins(spark, tmp_path_factory):
+    """--url-canonical keeps the NEWEST snapshot per canonical URL
+    (tracking-param variants collapse; unrelated URLs untouched)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("urldedup")
+    t1, t2 = dt.datetime(2025, 1, 1), dt.datetime(2025, 6, 1)
+    rows = [
+        ("https://a.example/p/1?utm_source=rss", t1, b"", "old snapshot", "en"),
+        ("HTTPS://A.example/p/1#frag", t2, b"", "new snapshot", "en"),
+        ("https://a.example/p/2", t1, b"", "unrelated page", "en"),
+    ]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), str(d / "pages.parquet"))
+
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"), "--output", str(d / "out"),
+         "--mode", "exact", "--url-canonical"]), spark=spark)
+    assert stats["rows_after_url_canonical"] == 2
+    got = {r.url: r.text for r in spark.read.parquet(str(d / "out")).collect()}
+    assert got == {"HTTPS://A.example/p/1#frag": "new snapshot",
+                   "https://a.example/p/2": "unrelated page"}
