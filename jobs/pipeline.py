@@ -33,6 +33,12 @@ def parse_args(argv=None):
     p.add_argument("--dedup-mode", choices=("exact", "near", "both", "none"),
                    default="both")
     p.add_argument("--paragraph", action="store_true")
+    p.add_argument("--url-canonical", action="store_true",
+                   help="cross-snapshot latest-wins URL dedup first")
+    p.add_argument("--against", default=None,
+                   help="historical corpus for incremental ingestion")
+    p.add_argument("--from-html", action="store_true",
+                   help="scrub stage derives text from the html column")
     p.add_argument("--exact-clusters", action="store_true")
     p.add_argument("--salt", action="store_true")
     p.add_argument("--n-buckets", type=int, default=64)
@@ -61,6 +67,10 @@ def run(args, spark=None) -> dict:
                      "--mode", args.dedup_mode]
             if args.paragraph:
                 dargs.append("--paragraph")
+            if args.url_canonical:
+                dargs.append("--url-canonical")
+            if args.against:
+                dargs += ["--against", args.against]
             if args.exact_clusters:
                 dargs.append("--exact-clusters")
             stats["dedup"] = dedup_run(dedup_args(dargs), spark=spark)
@@ -73,6 +83,8 @@ def run(args, spark=None) -> dict:
                  "--bucket-group-size", str(args.bucket_group_size)]
         if args.salt:
             sargs.append("--salt")
+        if args.from_html:
+            sargs.append("--from-html")
         stats["scrub"] = scrub_run(scrub_args(sargs), spark=spark)
         return stats
     finally:
