@@ -490,3 +490,42 @@ def test_histogram_quantiles_match_exact(spark):
     for name, q in (("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
         exact = vals[math.ceil(n * q) - 1]
         assert got[name] == math.floor(exact / 0.25) * 0.25
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    import os
+    import random
+
+    from incident_pii_redactor_spark.quality.compression import (
+        compression_ratio)
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(2000))
+    rows = [(1, "spam spam spam " * 200),      # templated -> tiny ratio
+            (2, noise),                         # high-entropy -> ~1.0
+            (3, "a modest natural sentence about data pipelines and "
+                "their shuffles, with ordinary word variety."),
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["ratio"] < 0.05 and got[1]["keep"] is False
+    assert got[2]["ratio"] > 0.7 and got[2]["keep"] is True
+    assert got[3]["keep"] is True
+    assert got[4]["ratio"] == 0.0 and got[4]["raw_len"] == 0
+    # determinism across partitionings (fixture contract)
+    again = {r["doc_id"]: r for r in
+             compression_ratio(df.repartition(3)).collect()}
+    assert {k: (v["comp_len"], v["ratio"]) for k, v in got.items()} == \
+           {k: (v["comp_len"], v["ratio"]) for k, v in again.items()}
+
+
+def test_license_signals_classes(spark):
+    import __spark_entry__ as entry
+
+    out = {r["doc_id"]: r for r in entry.queries()["doc_license_signals"](
+        spark, "/root/testdata/sf0.001").collect()}
+    for did, r in out.items():
+        m = did % 7
+        want = {0: "permissive", 1: "restrictive", 2: "notice",
+                3: "permissive"}.get(m, "none")
+        assert r["license_class"] == want, (did, r)

@@ -274,6 +274,35 @@ def math_log2_int(x: int) -> int:
     return int(math.log2(x))
 
 
+def make_compression_fixture(sf_dir: str, out_path: str) -> int:
+    """Replay quality/compression.py without Spark: same zlib level on
+    the same utf-8 bytes; ratio = exact double division."""
+    import duckdb
+
+    from incident_pii_redactor_spark.quality.compression import (
+        LEVEL, _lens)
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    recs = []
+    for did, text in rows:
+        raw, comp = _lens(text if isinstance(text, str) else "")
+        ratio = (comp / raw) if raw > 0 else 0.0
+        recs.append((int(did), raw, comp, ratio,
+                     0.30 <= ratio <= 0.99))
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in recs], pa.int64()),
+        "raw_len": pa.array([r[1] for r in recs], pa.int64()),
+        "comp_len": pa.array([r[2] for r in recs], pa.int64()),
+        "ratio": pa.array([r[3] for r in recs], pa.float64()),
+        "keep": pa.array([r[4] for r in recs], pa.bool_()),
+    })
+    pq.write_table(table, out_path)
+    return len(recs)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -288,10 +317,13 @@ def main() -> None:
         sf_dir, os.path.join(out_dir, f"emb_ivf_ann_{sf_tag}.parquet"))
     n4 = make_pq_fixture(
         sf_dir, os.path.join(out_dir, f"emb_pq_codes_{sf_tag}.parquet"))
+    n5 = make_compression_fixture(
+        sf_dir, os.path.join(out_dir, f"doc_compression_ratio_{sf_tag}.parquet"))
     print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
           f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows), "
           f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows), "
-          f"emb_pq_codes_{sf_tag}.parquet ({n4} rows) to {out_dir}")
+          f"emb_pq_codes_{sf_tag}.parquet ({n4} rows), "
+          f"doc_compression_ratio_{sf_tag}.parquet ({n5} rows) to {out_dir}")
 
 
 if __name__ == "__main__":
