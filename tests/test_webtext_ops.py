@@ -529,3 +529,40 @@ def test_license_signals_classes(spark):
         want = {0: "permissive", 1: "restrictive", 2: "notice",
                 3: "permissive"}.get(m, "none")
         assert r["license_class"] == want, (did, r)
+
+
+def test_clean_unicode_normalizes_web_text(spark):
+    from incident_pii_redactor_spark.quality.unicode_clean import (
+        clean_unicode, with_clean_text)
+
+    decomposed = "Café"               # e + combining acute
+    assert clean_unicode(decomposed) == "Café"  # NFC composed
+    assert clean_unicode("a\r\nb\rc") == "a\nb\nc"
+    assert clean_unicode("x y z　w") == "x y z w"
+    assert clean_unicode("a​b﻿c") == "abc"
+    assert clean_unicode("t\x00a\x07b\tc\nd") == "tab\tc\nd"
+    assert clean_unicode("") == ""
+
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain")], "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in with_clean_text(df).collect()}
+    assert got == {1: "Café", 2: "plain"}
+
+
+def test_clean_unicode_unifies_dedup_keys(spark):
+    """Byte-distinct but visually identical pages must share a
+    fingerprint AFTER normalization (the reason this op runs before
+    dedup)."""
+    from incident_pii_redactor_spark.functions.text import fingerprint
+    from incident_pii_redactor_spark.quality.unicode_clean import (
+        with_clean_text)
+
+    df = spark.createDataFrame(
+        [(1, "Café menu"), (2, "Café menu")],
+        "doc_id bigint, text string")
+    raw = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert raw[0] != raw[1]
+    cleaned = [r[0] for r in with_clean_text(df)
+               .select(fingerprint("text")).collect()]
+    assert cleaned[0] == cleaned[1]
