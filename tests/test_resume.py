@@ -461,3 +461,45 @@ def test_dedup_job_url_canonical_latest_wins(spark, tmp_path_factory):
     got = {r.url: r.text for r in spark.read.parquet(str(d / "out")).collect()}
     assert got == {"HTTPS://A.example/p/1#frag": "new snapshot",
                    "https://a.example/p/2": "unrelated page"}
+
+
+def test_export_job_shard_layout(spark, pages_parquet, tmp_path_factory):
+    """jobs/export.py writes shard=K dirs; each shard's files hold rows
+    in ascending pos with tiling tok_offsets, and the union equals the
+    input — the layout a packed training loader seeks into."""
+    import glob
+
+    import pyarrow.parquet as pq2
+
+    from jobs.export import parse_args as eargs, run as erun
+
+    d = tmp_path_factory.mktemp("export")
+    stats = erun(eargs(["--input", pages_parquet,
+                        "--output", str(d / "shards"),
+                        "--n-shards", "8"]), spark=spark)
+    assert stats["shards"] == 8
+    n_in = spark.read.parquet(pages_parquet).count()
+    assert stats["rows"] == n_in
+
+    urls = set()
+    for k in range(8):
+        files = sorted(glob.glob(str(d / "shards" / f"shard={k}" /
+                                     "*.parquet")))
+        assert files
+        rows = []
+        for f in files:
+            rows.extend(pq2.read_table(f).to_pylist())
+        rows.sort(key=lambda r: r["pos"])  # files may split; pos orders
+        offset = 0
+        for i, r in enumerate(rows):
+            assert r["pos"] == i
+            assert r["tok_offset"] == offset
+            offset = r["tok_offset"] + _bpe_count(r["text"])
+            urls.add(r["url"])
+    assert len(urls) == n_in
+
+
+def _bpe_count(text: str) -> int:
+    import re as _re
+
+    return len(_re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text or ""))
