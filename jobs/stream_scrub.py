@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--metrics", default=None,
                    help="optional path for the windowed metrics stream")
+    p.add_argument("--url-dedup", action="store_true",
+                   help="ALSO suppress cross-snapshot re-crawls: exact "
+                        "first-seen dedup keyed on the CANONICAL URL "
+                        "(functions/text.py:canonical_url) upstream of "
+                        "the near-dup stage")
     p.add_argument("--dedup", action="store_true",
                    help="near-dup dedup upstream of the scrub")
     p.add_argument("--state-ttl-hours", type=int, default=24,
@@ -63,6 +68,13 @@ def parse_args(argv=None):
 
 
 def run(args, spark=None) -> dict:
+    if args.url_dedup and args.dedup:
+        # Spark rejects two applyInPandasWithState ops in one query at
+        # analysis time (see streaming/neardup_stream.py notes). Run the
+        # url-dedup pass as its own stage (parquet handoff) instead.
+        raise SystemExit(
+            "--url-dedup and --dedup are separate stateful stages; "
+            "chain two invocations with a parquet handoff")
     owns = spark is None
     if owns:
         extra = {}
@@ -79,6 +91,18 @@ def run(args, spark=None) -> dict:
             spark, args.input,
             max_files_per_trigger=args.max_files_per_trigger,
         )
+        if args.url_dedup:
+            from incident_pii_redactor_spark.functions.text import (
+                canonical_url,
+            )
+            from incident_pii_redactor_spark.streaming.dedup_stream import (
+                streaming_exact_dedup,
+            )
+
+            pages = streaming_exact_dedup(
+                pages, key_expr=canonical_url("url"),
+                event_ttl_ms=args.state_ttl_hours * 3600 * 1000,
+            )
         if args.dedup:
             from incident_pii_redactor_spark.streaming.neardup_stream import (
                 streaming_neardup_dedup,

@@ -433,3 +433,55 @@ def test_event_time_ttl_respects_custom_ts_col(spark, tmp_path_factory):
     assert not q.isActive
     got = {r.url for r in spark.read.parquet(str(out / "data")).collect()}
     assert got == {"u1", "u2", "u3"}  # u4 suppressed: within the TTL
+
+
+def test_stream_scrub_job_url_dedup(spark, tmp_path_factory):
+    """--url-dedup suppresses cross-snapshot re-crawls (canonical-URL
+    key) before the scrub; combining both stateful stages in one query
+    is refused with a stage-chaining hint."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from jobs.stream_scrub import parse_args as sargs, run as srun
+
+    d = tmp_path_factory.mktemp("urlstream")
+    (d / "in").mkdir()
+    ts = dt.datetime(2025, 1, 1)
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the field while the sun rises slowly over the quiet hills")
+    rows = [
+        ("https://a.example/p/1?utm_source=rss", ts, b"", base, "en"),
+        ("HTTPS://A.example/p/1#frag", ts, b"", base + " drifted", "en"),
+        ("https://a.example/p/2", ts, b"", base.replace("quick", "slow"),
+         "en"),
+    ]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), str(d / "in" / "b1.parquet"))
+
+    stats = srun(sargs(
+        ["--input", str(d / "in"), "--output", str(d / "out"),
+         "--checkpoint", str(d / "ck"), "--url-dedup",
+         "--available-now"]), spark=spark)
+    assert stats["queries"] if isinstance(stats, dict) else True
+    got = sorted(r.url for r in spark.read.parquet(str(d / "out"))
+                 .collect())
+    # within one microbatch the representative is the DETERMINISTIC
+    # min-(url, ts) row of the canonical group ('HTTPS://A...' sorts
+    # before 'https://a...' in binary), not input order
+    assert got == ["HTTPS://A.example/p/1#frag",
+                   "https://a.example/p/2"]
+
+    with _pytest.raises(SystemExit):
+        srun(sargs(["--input", str(d / "in"), "--output", str(d / "o2"),
+                    "--checkpoint", str(d / "c2"), "--url-dedup",
+                    "--dedup", "--available-now"]), spark=spark)
