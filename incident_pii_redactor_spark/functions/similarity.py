@@ -593,3 +593,123 @@ def pq_ann_topk(
         .orderBy(F.asc("l2_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means, BIT-DETERMINISTIC (the iterative-
+    algorithm pattern: driver holds the tiny model, executors do one
+    assign+partial-mean pass per iteration).
+
+    * init: the deterministic sign-bucket means (same recipe as IVF),
+      sliced to the k buckets with most members (ties -> lower bucket);
+    * assign: argmin squared-L2 via ||c||^2 - 2 x.c (ties -> lowest
+      centroid, np.argmin);
+    * update: per-cluster mean over float64 vectors with rows SORTED by
+      id before the numpy mean (pairwise summation is order-sensitive);
+      empty clusters keep their previous centroid.
+
+    Each iteration is one narrow pass + a groupBy bounded by k groups;
+    the centroids (k*dim doubles) travel in UDF closures. Scale: at
+    10^9 vectors this is the standard Spark k-means shape (MLlib does
+    the same with partial aggregates); determinism here additionally
+    pins a golden-fixture oracle."""
+    if dim is None:
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+        if first is None:
+            raise ValueError("kmeans_fit: no non-null embeddings")
+        dim = len(first[0])
+    n_planes = max(1, int(math.log2(max(2, k))))
+    # init from sign-bucket means (more buckets than k; pick k largest)
+    counts = {}
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(dim, n_planes + 1, seed)
+
+    @pandas_udf("int")
+    def bucket(emb: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        signs = (mat @ planes.T) > 0
+        return pd.Series((signs @ (1 << np.arange(n_planes + 1)))
+                         .astype(np.int32))
+
+    def mean_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_i")
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"_b": [int(pdf["_b"].iloc[0])],
+                             "n": [len(pdf)],
+                             "centroid": [mat.mean(axis=0).tolist()]})
+
+    base = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+    got = (
+        base.withColumn("_b", bucket(F.col("_v")))
+        .groupBy("_b")
+        .applyInPandas(mean_group,
+                       schema="_b int, n long, centroid array<double>")
+        .collect()
+    )
+    got.sort(key=lambda r: (-r.n, r._b))
+    cents = np.array([r.centroid for r in got[:k]])
+    if len(cents) < k:
+        raise ValueError(f"kmeans_fit: init produced {len(cents)} < k={k}")
+
+    for _ in range(n_iter):
+        c = cents
+
+        @pandas_udf("int")
+        def assign(emb: pd.Series) -> pd.Series:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        got = (
+            base.withColumn("_b", assign(F.col("_v")))
+            .groupBy("_b")
+            .applyInPandas(mean_group,
+                           schema="_b int, n long, centroid array<double>")
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep previous centroid
+        for r in got:
+            new[int(r._b)] = np.asarray(r.centroid, dtype=np.float64)
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster int, dist double): final assignment + exact L2
+    distance to the assigned centroid (fold-free: numpy per batch, same
+    expression as training so a fixture replay matches bit-for-bit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids
+
+    @pandas_udf("struct<cluster: int, dist: double>")
+    def ass(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        cl = d2.argmin(axis=1)
+        diff = mat - c[cl]
+        dist = np.sqrt((diff * diff).sum(axis=1))
+        return pd.DataFrame({"cluster": cl.astype(np.int32),
+                             "dist": dist})
+
+    return df.withColumn("_a", ass(F.col(vec_col))).select(
+        F.col(id_col),
+        # bigint per the driver result-type policy (int32 is hash-hostile)
+        F.col("_a.cluster").cast("bigint").alias("cluster"),
+        F.round(F.col("_a.dist"), 6).alias("dist"),
+    )

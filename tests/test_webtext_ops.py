@@ -566,3 +566,30 @@ def test_clean_unicode_unifies_dedup_keys(spark):
     cleaned = [r[0] for r in with_clean_text(df)
                .select(fingerprint("text")).collect()]
     assert cleaned[0] == cleaned[1]
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_deterministic_and_improves_over_init(spark):
+    """Iterations must (a) be partition-invariant bit-for-bit and
+    (b) not increase total distortion vs zero iterations (Lloyd's steps
+    are monotone non-increasing in within-cluster SSE)."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import (
+        kmeans_assign, kmeans_fit)
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c3 = kmeans_fit(df, k=8, n_iter=3)
+    c3b = kmeans_fit(df.repartition(7), k=8, n_iter=3)
+    assert np.array_equal(c3, c3b)
+
+    c0 = kmeans_fit(df, k=8, n_iter=0)
+    d0 = sum(r["dist"] ** 2 for r in kmeans_assign(df, c0).collect())
+    d3 = sum(r["dist"] ** 2 for r in kmeans_assign(df, c3).collect())
+    assert d3 <= d0 + 1e-9
+    out = kmeans_assign(df, c3).collect()
+    assert {r["cluster"] for r in out} <= set(range(8))
+    assert len({r["cluster"] for r in out}) >= 4  # non-degenerate

@@ -274,6 +274,63 @@ def math_log2_int(x: int) -> int:
     return int(math.log2(x))
 
 
+def make_kmeans_fixture(sf_dir: str, out_path: str, k: int = 8,
+                        n_iter: int = 3, seed: int = 42) -> int:
+    """Replay ``functions.similarity.kmeans_fit`` + ``kmeans_assign``
+    without Spark: same sign-bucket init (n_planes+1 bits, k most-
+    populated buckets, ties -> lower bucket), same argmin assign, same
+    vec_id-sorted float64 means, empty clusters keep their centroid."""
+    import math
+
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.similarity import _hyperplanes
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([int(r[0]) for r in rows])
+    # float32 first: the Spark UDFs stack Arrow float32 then upcast
+    mat32 = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows])
+    mat = mat32.astype(np.float64)
+    dim = mat.shape[1]
+    n_planes = max(1, int(math.log2(max(2, k))))
+    planes = _hyperplanes(dim, n_planes + 1, seed)
+
+    signs = (mat @ planes.T) > 0
+    buckets = signs @ (1 << np.arange(n_planes + 1))
+    stats = []
+    for b in sorted(set(int(x) for x in buckets)):
+        m = buckets == b
+        stats.append((int(m.sum()), b,
+                      mat[m].mean(axis=0)))  # ids pre-sorted ascending
+    stats.sort(key=lambda t: (-t[0], t[1]))
+    cents = np.array([c for _, _, c in stats[:k]])
+
+    for _ in range(n_iter):
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+        cl = d2.argmin(axis=1)
+        new = cents.copy()
+        for b in range(k):
+            m = cl == b
+            if m.any():
+                new[b] = mat[m].mean(axis=0)
+        cents = new
+
+    d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+    cl = d2.argmin(axis=1)
+    diff = mat - cents[cl]
+    dist = np.sqrt((diff * diff).sum(axis=1))
+    table = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(cl.astype("int64"), pa.int64()),
+        "dist": pa.array([spark_round6(x) for x in dist], pa.float64()),
+    })
+    pq.write_table(table, out_path)
+    return len(ids)
+
+
 def make_compression_fixture(sf_dir: str, out_path: str) -> int:
     """Replay quality/compression.py without Spark: same zlib level on
     the same utf-8 bytes; ratio = exact double division."""
@@ -319,11 +376,14 @@ def main() -> None:
         sf_dir, os.path.join(out_dir, f"emb_pq_codes_{sf_tag}.parquet"))
     n5 = make_compression_fixture(
         sf_dir, os.path.join(out_dir, f"doc_compression_ratio_{sf_tag}.parquet"))
+    n6 = make_kmeans_fixture(
+        sf_dir, os.path.join(out_dir, f"emb_kmeans_{sf_tag}.parquet"))
     print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
           f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows), "
           f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows), "
           f"emb_pq_codes_{sf_tag}.parquet ({n4} rows), "
-          f"doc_compression_ratio_{sf_tag}.parquet ({n5} rows) to {out_dir}")
+          f"doc_compression_ratio_{sf_tag}.parquet ({n5} rows), "
+          f"emb_kmeans_{sf_tag}.parquet ({n6} rows) to {out_dir}")
 
 
 if __name__ == "__main__":
