@@ -713,3 +713,58 @@ def kmeans_assign(
         F.col("_a.cluster").cast("bigint").alias("cluster"),
         F.round(F.col("_a.dist"), 6).alias("dist"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering then within-cluster cosine — the method that pruned
+    LAION/C4 by 50% with no quality loss. Clustering is what makes the
+    pairwise step scale-sane: candidates only ever meet INSIDE a
+    cluster, so the join is a plain equi-join on the cluster id (never
+    a corpus BNLJ) and per-cluster pair counts are (n/k)^2. At 10^9
+    vectors you raise k so clusters stay ~10^4-10^5 (SemDeDup used
+    50k clusters) and optionally cap per-cluster candidates by distance
+    to centroid — the same bounded-bucket argument as the LSH band join.
+
+    Returns (id, cluster, keep): keep=false iff some SMALLER id in the
+    same cluster is cosine-similar above ``threshold`` (one-step
+    min-id-wins, the dedup job's standard policy). Bit-deterministic
+    end-to-end: kmeans_fit is deterministic and the pairwise cosine is
+    the fold-order ``cosine_pairs_udf``."""
+    cents = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col,
+                       id_col=id_col, seed=seed)
+    assigned = kmeans_assign(df, cents, vec_col=vec_col, id_col=id_col) \
+        .select(id_col, "cluster")
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+    dim = len(first[0])
+    cos = cosine_pairs_udf(dim)
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col("cluster").alias("cluster"))
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("cluster").alias("cluster"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(va, "id_a").join(vb, "id_b")
+        .select("cluster", "id_a", "id_b",
+                F.round(cos(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.join(F.broadcast(drops.withColumn("_drop", F.lit(True))),
+                      id_col, "left")
+        .select(id_col, "cluster",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

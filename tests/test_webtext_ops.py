@@ -593,3 +593,43 @@ def test_kmeans_deterministic_and_improves_over_init(spark):
     out = kmeans_assign(df, c3).collect()
     assert {r["cluster"] for r in out} <= set(range(8))
     assert len({r["cluster"] for r in out}) >= 4  # non-degenerate
+
+
+def test_semdedup_drops_within_cluster_neighbors_only(spark):
+    """Every dropped vector must have a KEPT smaller-id neighbor in the
+    SAME cluster above the threshold... and kept vectors must not (the
+    one-step min-id-wins contract, verified against brute force)."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import semdedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = 0.40
+    out = semdedup(df, threshold=t).collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+            for r in df.collect()}
+    cluster = {r["vec_id"]: r["cluster"] for r in out}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        d = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        return d
+
+    dropped = {r["vec_id"] for r in out if not r["keep"]}
+    assert dropped  # the corpus has planted near-dups above 0.40
+    for r in out:
+        vid = r["vec_id"]
+        has_smaller_neighbor = any(
+            o < vid and cluster[o] == cluster[vid]
+            and round(cos(o, vid), 4) >= t + 0.0001
+            for o in vecs
+        )
+        lacks_any = all(
+            not (o < vid and cluster[o] == cluster[vid]
+                 and round(cos(o, vid), 4) > t - 0.0001)
+            for o in vecs
+        )
+        if has_smaller_neighbor:
+            assert vid in dropped
+        if lacks_any:
+            assert vid not in dropped

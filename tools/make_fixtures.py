@@ -274,17 +274,8 @@ def math_log2_int(x: int) -> int:
     return int(math.log2(x))
 
 
-def make_kmeans_fixture(sf_dir: str, out_path: str, k: int = 8,
-                        n_iter: int = 3, seed: int = 42) -> int:
-    """Replay ``functions.similarity.kmeans_fit`` + ``kmeans_assign``
-    without Spark: same sign-bucket init (n_planes+1 bits, k most-
-    populated buckets, ties -> lower bucket), same argmin assign, same
-    vec_id-sorted float64 means, empty clusters keep their centroid."""
-    import math
-
+def _load_embeddings(sf_dir: str):
     import duckdb
-
-    from incident_pii_redactor_spark.functions.similarity import _hyperplanes
 
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM "
@@ -292,12 +283,23 @@ def make_kmeans_fixture(sf_dir: str, out_path: str, k: int = 8,
     ).fetchall()
     ids = np.array([int(r[0]) for r in rows])
     # float32 first: the Spark UDFs stack Arrow float32 then upcast
-    mat32 = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows])
-    mat = mat32.astype(np.float64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float32)
+                    for r in rows]).astype(np.float64)
+    return ids, mat, rows
+
+
+def _kmeans_replay(mat, k: int, n_iter: int, seed: int):
+    """Replay ``functions.similarity.kmeans_fit`` + assignment without
+    Spark: same sign-bucket init (n_planes+1 bits, k most-populated
+    buckets, ties -> lower bucket), same argmin assign, same row-sorted
+    float64 means, empty clusters keep their centroid."""
+    import math
+
+    from incident_pii_redactor_spark.functions.similarity import _hyperplanes
+
     dim = mat.shape[1]
     n_planes = max(1, int(math.log2(max(2, k))))
     planes = _hyperplanes(dim, n_planes + 1, seed)
-
     signs = (mat @ planes.T) > 0
     buckets = signs @ (1 << np.arange(n_planes + 1))
     stats = []
@@ -307,7 +309,6 @@ def make_kmeans_fixture(sf_dir: str, out_path: str, k: int = 8,
                       mat[m].mean(axis=0)))  # ids pre-sorted ascending
     stats.sort(key=lambda t: (-t[0], t[1]))
     cents = np.array([c for _, _, c in stats[:k]])
-
     for _ in range(n_iter):
         d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
         cl = d2.argmin(axis=1)
@@ -317,15 +318,56 @@ def make_kmeans_fixture(sf_dir: str, out_path: str, k: int = 8,
             if m.any():
                 new[b] = mat[m].mean(axis=0)
         cents = new
-
     d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
-    cl = d2.argmin(axis=1)
+    return cents, d2.argmin(axis=1)
+
+
+def make_kmeans_fixture(sf_dir: str, out_path: str, k: int = 8,
+                        n_iter: int = 3, seed: int = 42) -> int:
+    ids, mat, _ = _load_embeddings(sf_dir)
+    cents, cl = _kmeans_replay(mat, k, n_iter, seed)
     diff = mat - cents[cl]
     dist = np.sqrt((diff * diff).sum(axis=1))
     table = pa.table({
         "vec_id": pa.array(ids, pa.int64()),
         "cluster": pa.array(cl.astype("int64"), pa.int64()),
         "dist": pa.array([spark_round6(x) for x in dist], pa.float64()),
+    })
+    pq.write_table(table, out_path)
+    return len(ids)
+
+
+def make_semdedup_fixture(sf_dir: str, out_path: str, k: int = 8,
+                          n_iter: int = 3, threshold: float = 0.40,
+                          seed: int = 42) -> int:
+    """Replay ``functions.similarity.semdedup``: kmeans assignment, then
+    within-cluster pairwise fold-cosine (the column-sequential op order
+    of cosine_pairs_udf == fold_dot/fold_norm), spark_round6, min-id-
+    wins keep."""
+    ids, mat, rows = _load_embeddings(sf_dir)
+    _, cl = _kmeans_replay(mat, k, n_iter, seed)
+    vec_by_id = {int(r[0]): r[1] for r in rows}
+    by_cluster = {}
+    for i, vid in enumerate(ids):
+        by_cluster.setdefault(int(cl[i]), []).append(int(vid))
+    dropped = set()
+    for members in by_cluster.values():
+        members.sort()
+        norms = {v: fold_norm(vec_by_id[v]) for v in members}
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                denom = norms[a] * norms[b]
+                if denom == 0:
+                    continue
+                cos = spark_round6(
+                    fold_dot(vec_by_id[a], vec_by_id[b]) / denom)
+                if cos >= threshold:
+                    dropped.add(b)
+    table = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array([int(c) for c in cl], pa.int64()),
+        "keep": pa.array([int(v) not in dropped for v in ids], pa.bool_()),
     })
     pq.write_table(table, out_path)
     return len(ids)
@@ -378,12 +420,15 @@ def main() -> None:
         sf_dir, os.path.join(out_dir, f"doc_compression_ratio_{sf_tag}.parquet"))
     n6 = make_kmeans_fixture(
         sf_dir, os.path.join(out_dir, f"emb_kmeans_{sf_tag}.parquet"))
+    n7 = make_semdedup_fixture(
+        sf_dir, os.path.join(out_dir, f"emb_semdedup_{sf_tag}.parquet"))
     print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
           f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows), "
           f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows), "
           f"emb_pq_codes_{sf_tag}.parquet ({n4} rows), "
           f"doc_compression_ratio_{sf_tag}.parquet ({n5} rows), "
-          f"emb_kmeans_{sf_tag}.parquet ({n6} rows) to {out_dir}")
+          f"emb_kmeans_{sf_tag}.parquet ({n6} rows), "
+          f"emb_semdedup_{sf_tag}.parquet ({n7} rows) to {out_dir}")
 
 
 if __name__ == "__main__":
