@@ -633,3 +633,31 @@ def test_semdedup_drops_within_cluster_neighbors_only(spark):
             assert vid in dropped
         if lacks_any:
             assert vid not in dropped
+
+
+def test_canonical_url_idempotent_fuzz(spark):
+    """canonical(canonical(u)) == canonical(u) over a deterministic fuzz
+    batch — idempotency is what lets pipelines re-canonicalize merged
+    corpora safely."""
+    import random
+
+    from incident_pii_redactor_spark.functions.text import canonical_url
+
+    rng = random.Random(0)
+    schemes = ["http://", "https://", "HTTPS://", "HtTp://"]
+    hosts = ["A.b.C", "x.y", "WWW.Site.ORG", "h.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/p", "/p/q/", "/P/x"]
+    queries = ["", "?a=1", "?utm_a=2", "?a=1&utm_b=3", "?utm_a=1&b=2",
+               "?utm_a=1&utm_b=2", "?fbclid=x&a=1"]
+    frags = ["", "#f", "#a/b?c"]
+    urls = ["".join([rng.choice(schemes), rng.choice(hosts),
+                     rng.choice(ports), rng.choice(paths),
+                     rng.choice(queries), rng.choice(frags)])
+            for _ in range(300)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url("url")
+    rows = df.select(once.alias("c1")).select(
+        "c1", canonical_url(F.col("c1")).alias("c2")).collect()
+    bad = [(r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
