@@ -76,6 +76,21 @@ def main() -> None:
     qv = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     pq_ann_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=5).show()
 
+    print("== HTML -> text extraction (pure Catalyst) ==")
+    from incident_pii_redactor_spark.functions.html import extract_text
+
+    html = spark.createDataFrame(
+        [(1, b"<html><head><script>x</script></head><body><h1>Title</h1>"
+             b"<p>Body &amp; more</p></body></html>")],
+        "id long, html binary")
+    html.select(extract_text("html").alias("text")).show(truncate=False)
+
+    print("== k-means + SemDeDup (clusters bound the pairwise step) ==")
+    from incident_pii_redactor_spark.functions.similarity import semdedup
+
+    sd = semdedup(emb, threshold=0.40)
+    sd.groupBy("keep").count().show()
+
     print("== deterministic training-shard layout ==")
     from incident_pii_redactor_spark.functions.sampling import shard_assignment
 
