@@ -661,3 +661,48 @@ def test_canonical_url_idempotent_fuzz(spark):
         "c1", canonical_url(F.col("c1")).alias("c2")).collect()
     bad = [(r["c1"], r["c2"]) for r in rows if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+def test_bpe_learns_classic_merges(spark):
+    """On the textbook corpus the first merges must capture the shared
+    subword structure, and encoding with them must shrink token counts
+    vs characters."""
+    from incident_pii_redactor_spark.functions.bpe import (
+        bpe_encode_udf, train_bpe)
+
+    rows = [(i, "low low low lower lower newest newest newest widest")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=8)
+    pairs = [(a, b) for a, b, _ in merges]
+    # 'low' (12x) forces l+o then lo+w among the first merges
+    assert ("l", "o") in pairs[:3]
+    assert ("lo", "w") in pairs[:4]
+    # counts are corpus totals (x4 docs): l+o seen in low/lower = 20
+    by_pair = {(a, b): c for a, b, c in merges}
+    assert by_pair[("l", "o")] == 20
+
+    enc = bpe_encode_udf(pairs)
+    out = df.select(enc(F.col("text")).alias("e")).select(
+        "e.tokens", "e.n_tokens").head()
+    n_chars_plus_ends = sum(len(w) + 1
+                            for w in rows[0][1].split())
+    assert out["n_tokens"] < n_chars_plus_ends
+    assert "low</w>" in out["tokens"] or "low" in out["tokens"]
+
+
+def test_bpe_deterministic_and_capped(spark):
+    import pytest as _pytest
+
+    from incident_pii_redactor_spark.functions.bpe import train_bpe
+
+    d = _docs(spark)
+    a = train_bpe(d, n_merges=6)
+    b = train_bpe(d.repartition(9), n_merges=6)
+    assert a == b and len(a) == 6
+    with _pytest.raises(ValueError):
+        train_bpe(d, n_merges=2, max_vocab_rows=5)

@@ -373,6 +373,35 @@ def make_semdedup_fixture(sf_dir: str, out_path: str, k: int = 8,
     return len(ids)
 
 
+def make_bpe_fixture(sf_dir: str, out_path: str,
+                     n_merges: int = 12) -> int:
+    """Replay functions.bpe.train_bpe via the SHARED pure-Python merge
+    loop over DuckDB's word counts (word-split parity with Spark's
+    words(lower(text)) is pinned by the SQL-twinned token queries)."""
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.bpe import (
+        train_bpe_from_counts)
+
+    rows = duckdb.sql(
+        f"""SELECT w, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS w
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+            GROUP BY w"""
+    ).fetchall()
+    merges = train_bpe_from_counts([(w, int(n)) for w, n in rows], n_merges)
+    table = pa.table({
+        "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+    pq.write_table(table, out_path)
+    return len(merges)
+
+
 def make_compression_fixture(sf_dir: str, out_path: str) -> int:
     """Replay quality/compression.py without Spark: same zlib level on
     the same utf-8 bytes; ratio = exact double division."""
@@ -422,13 +451,16 @@ def main() -> None:
         sf_dir, os.path.join(out_dir, f"emb_kmeans_{sf_tag}.parquet"))
     n7 = make_semdedup_fixture(
         sf_dir, os.path.join(out_dir, f"emb_semdedup_{sf_tag}.parquet"))
+    n8 = make_bpe_fixture(
+        sf_dir, os.path.join(out_dir, f"doc_bpe_merges_{sf_tag}.parquet"))
     print(f"wrote scrub_documents_{sf_tag}.parquet ({n1} rows), "
           f"emb_lsh_ann_{sf_tag}.parquet ({n2} rows), "
           f"emb_ivf_ann_{sf_tag}.parquet ({n3} rows), "
           f"emb_pq_codes_{sf_tag}.parquet ({n4} rows), "
           f"doc_compression_ratio_{sf_tag}.parquet ({n5} rows), "
           f"emb_kmeans_{sf_tag}.parquet ({n6} rows), "
-          f"emb_semdedup_{sf_tag}.parquet ({n7} rows) to {out_dir}")
+          f"emb_semdedup_{sf_tag}.parquet ({n7} rows), "
+          f"doc_bpe_merges_{sf_tag}.parquet ({n8} merges) to {out_dir}")
 
 
 if __name__ == "__main__":
