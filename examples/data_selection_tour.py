@@ -91,6 +91,19 @@ def main() -> None:
     sd = semdedup(emb, threshold=0.40)
     sd.groupBy("keep").count().show()
 
+    print("== BPE tokenizer training on the corpus ==")
+    from incident_pii_redactor_spark.functions.bpe import (
+        bpe_encode_udf, train_bpe)
+
+    corpus = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest widest")],
+        "doc_id long, text string")
+    merges = train_bpe(corpus, n_merges=6)
+    print("merges:", [(a, b) for a, b, _ in merges])
+    enc = bpe_encode_udf([(a, b) for a, b, _ in merges])
+    corpus.select(enc(F.col("text")).alias("e")).select(
+        "e.tokens").show(truncate=False)
+
     print("== deterministic training-shard layout ==")
     from incident_pii_redactor_spark.functions.sampling import shard_assignment
 
