@@ -28,7 +28,7 @@ submit-smoke: package
 	  --conf spark.ui.enabled=false \
 	  $(CURDIR)/jobs/scrub.py --input /tmp/submit_smoke/pages.parquet \
 	  --output /tmp/submit_smoke/out --manifest /tmp/submit_smoke/mf \
-	  --n-buckets 4 --bucket-group-size 4 --salt
+	  --n-buckets 4 --bucket-group-size 4 --salt --from-html
 
 clean:
 	rm -rf dist .bench_cache .pytest_cache
