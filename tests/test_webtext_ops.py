@@ -706,3 +706,32 @@ def test_bpe_deterministic_and_capped(spark):
     assert a == b and len(a) == 6
     with _pytest.raises(ValueError):
         train_bpe(d, n_merges=2, max_vocab_rows=5)
+
+
+def test_selection_funnel_stage_attribution(spark):
+    """drop_stage must name the FIRST failing stage in pipeline order
+    and keep_final must equal the conjunction of the stage flags; the
+    toy corpus must exercise several distinct stages."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["doc_selection_funnel"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    stages_seen = set()
+    for r in out:
+        want_final = (r["keep_url"] and r["keep_exact"]
+                      and r["keep_heuristic"] and r["keep_nb"])
+        assert r["keep_final"] == want_final
+        if not r["keep_url"]:
+            assert r["drop_stage"] == "url_dup"
+        elif not r["keep_exact"]:
+            assert r["drop_stage"] == "exact_dup"
+        elif not r["keep_heuristic"]:
+            assert r["drop_stage"] == "heuristic"
+        elif not r["keep_nb"]:
+            assert r["drop_stage"] == "classifier"
+        else:
+            assert r["drop_stage"] == ""
+        stages_seen.add(r["drop_stage"])
+    assert {"", "url_dup"} <= stages_seen
+    assert len(stages_seen) >= 3
