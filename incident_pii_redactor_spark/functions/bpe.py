@@ -95,13 +95,14 @@ def train_bpe(
     the driver-side loop. Returns [(left, right, pair_count)] in merge
     order."""
     wc = word_count_table(df, text_col)
-    n_distinct = wc.count()
-    if n_distinct > max_vocab_rows:
+    # ONE job: over-fetch by one row — if the limit comes back full the
+    # vocabulary exceeded the budget (a separate count() would re-run
+    # the corpus aggregation just to validate)
+    rows = [(r.w, int(r.n)) for r in wc.limit(max_vocab_rows + 1).collect()]
+    if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"train_bpe: {n_distinct} distinct words > max_vocab_rows="
-            f"{max_vocab_rows}; apply a frequency floor first "
-            f"(filter n >= k on word_count_table)")
-    rows = [(r.w, int(r.n)) for r in wc.collect()]
+            f"train_bpe: > {max_vocab_rows} distinct words; apply a "
+            f"frequency floor first (filter n >= k on word_count_table)")
     return train_bpe_from_counts(rows, n_merges)
 
 

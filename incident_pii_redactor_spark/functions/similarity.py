@@ -628,8 +628,6 @@ def kmeans_fit(
         dim = len(first[0])
     n_planes = max(1, int(math.log2(max(2, k))))
     # init from sign-bucket means (more buckets than k; pick k largest)
-    counts = {}
-
     from pyspark.sql.functions import pandas_udf
 
     planes = _hyperplanes(dim, n_planes + 1, seed)
@@ -743,9 +741,7 @@ def semdedup(
                        id_col=id_col, seed=seed)
     assigned = kmeans_assign(df, cents, vec_col=vec_col, id_col=id_col) \
         .select(id_col, "cluster")
-    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
-    dim = len(first[0])
-    cos = cosine_pairs_udf(dim)
+    cos = cosine_pairs_udf(int(cents.shape[1]))  # dim rides on the model
 
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
@@ -762,8 +758,10 @@ def semdedup(
         .filter(F.col("cos_sim") >= threshold)
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # NO forced broadcast: a SemDeDup drop list is 30-50% of the corpus
+    # at production thresholds — let AQE pick the join strategy
     return (
-        assigned.join(F.broadcast(drops.withColumn("_drop", F.lit(True))),
+        assigned.join(drops.withColumn("_drop", F.lit(True)),
                       id_col, "left")
         .select(id_col, "cluster",
                 F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))

@@ -73,6 +73,12 @@ def parse_args(argv=None):
                         "one join; the algorithm needs graph diameter + 1 "
                         "rounds, and raises rather than returning an "
                         "under-merged labeling if exceeded)")
+    p.add_argument("--from-html", action="store_true",
+                   help="derive text = extract_text(html) BEFORE any "
+                        "dedup (raw-crawl ingestion: hashing a stale or "
+                        "placeholder text column would collapse the "
+                        "corpus); downstream stages then see the "
+                        "extracted text")
     p.add_argument("--url-canonical", action="store_true",
                    help="FIRST dedup cross-snapshot re-crawls: group by "
                         "canonical URL (functions/text.py:canonical_url) "
@@ -93,6 +99,12 @@ def run(args, spark=None) -> dict:
         spark = build_session("pages-dedup", master=args.master)
     try:
         df = read_pages(spark, args.input)
+        if args.from_html:
+            from incident_pii_redactor_spark.functions.html import (
+                extract_text,
+            )
+
+            df = df.withColumn("text", extract_text("html"))
         stats = {"rows_in": df.count()}
 
         if args.against:

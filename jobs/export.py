@@ -61,8 +61,12 @@ def run(args, spark=None) -> dict:
                         F.sum("_n_tok").over(w) - F.col("_n_tok"))
             .drop("_n_tok")
         )
+        # sort key must include 'shard': the writer's required ordering
+        # is [shard]; sorting by pos alone makes Spark insert its own
+        # non-contractually-stable sort on shard above ours, which can
+        # interleave a shard's equal-key runs on spill (review round 3)
         (out.repartition("shard")
-            .sortWithinPartitions("pos")
+            .sortWithinPartitions("shard", "pos")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(args.output))

@@ -71,6 +71,10 @@ def run(args, spark=None) -> dict:
                 dargs.append("--url-canonical")
             if args.against:
                 dargs += ["--against", args.against]
+            if args.from_html:
+                # extraction must happen BEFORE dedup: hashing a stale
+                # text column would collapse the corpus (review round 3)
+                dargs.append("--from-html")
             if args.exact_clusters:
                 dargs.append("--exact-clusters")
             stats["dedup"] = dedup_run(dedup_args(dargs), spark=spark)
@@ -83,7 +87,9 @@ def run(args, spark=None) -> dict:
                  "--bucket-group-size", str(args.bucket_group_size)]
         if args.salt:
             sargs.append("--salt")
-        if args.from_html:
+        if args.from_html and args.dedup_mode == "none":
+            # with a dedup stage, its output already carries the
+            # extracted text; only the dedup-less path extracts in scrub
             sargs.append("--from-html")
         stats["scrub"] = scrub_run(scrub_args(sargs), spark=spark)
         return stats

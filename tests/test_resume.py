@@ -503,3 +503,44 @@ def _bpe_count(text: str) -> int:
     import re as _re
 
     return len(_re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text or ""))
+
+
+def test_dedup_job_from_html_prevents_placeholder_collapse(spark,
+                                                           tmp_path_factory):
+    """--from-html extracts BEFORE hashing: rows sharing a placeholder
+    text column but carrying different html must NOT collapse (the
+    silent-data-loss scenario of deduping a stale text column)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("fromhtmldedup")
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://a/1", ts, b"<p>first real article body</p>", "", "en"),
+        ("https://a/2", ts, b"<p>second distinct article</p>", "", "en"),
+        ("https://a/3", ts, b"<p>first real article body</p>", "", "en"),
+    ]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), str(d / "pages.parquet"))
+
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"), "--output", str(d / "out"),
+         "--mode", "exact", "--from-html"]), spark=spark)
+    # only the true html duplicate collapses; WITHOUT --from-html all
+    # three placeholder texts would hash identically -> 1 row
+    assert stats["rows_out"] == 2
+    got = {r.url: r.text for r in spark.read.parquet(str(d / "out"))
+           .collect()}
+    assert set(got) == {"https://a/1", "https://a/2"}
+    assert got["https://a/1"] == "first real article body"
