@@ -735,3 +735,33 @@ def test_selection_funnel_stage_attribution(spark):
         stages_seen.add(r["drop_stage"])
     assert {"", "url_dup"} <= stages_seen
     assert len(stages_seen) >= 3
+
+
+def test_neardup_clusters_match_python_union_find(spark):
+    """The distributed min-label components must equal a driver-side
+    union-find over the same verified pairs."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             entry.queries()["doc_jaccard_verified_pairs"](spark, sf)
+             .filter(F.col("jaccard") >= 0.7).collect()]
+    assert pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {r["doc_id"]: r["keeper"] for r in
+           entry.queries()["doc_neardup_clusters"](spark, sf).collect()}
+    assert got == want
