@@ -765,3 +765,46 @@ def test_neardup_clusters_match_python_union_find(spark):
     got = {r["doc_id"]: r["keeper"] for r in
            entry.queries()["doc_neardup_clusters"](spark, sf).collect()}
     assert got == want
+
+
+def test_tfidf_promotes_distinctive_terms(spark):
+    """A term appearing in ONE doc must outrank corpus-wide terms for
+    that doc, and every doc must get exactly its top-3."""
+    import __spark_entry__ as entry
+
+    rows = [(1, "alpha beta beta gamma unique"),
+            (2, "alpha beta gamma gamma"),
+            (3, "alpha beta gamma delta")]
+    # run on the driver table for shape, then on a constructed one for
+    # semantics via the same code path
+    out = entry.queries()["doc_top_terms_tfidf"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, terms in by_doc.items():
+        assert [t["rank"] for t in sorted(terms, key=lambda t: t["rank"])] \
+            == list(range(1, len(terms) + 1))
+        assert len(terms) <= 3
+        # scores are non-increasing with rank
+        ts = sorted(terms, key=lambda t: t["rank"])
+        assert all(ts[i]["tfidf"] >= ts[i + 1]["tfidf"]
+                   for i in range(len(ts) - 1))
+    # semantics on a constructed corpus: 'unique' (df=1) tops doc 1
+    from incident_pii_redactor_spark.plans import build_session  # noqa
+
+    import __spark_entry__ as e2
+    import pyarrow.parquet as pq2
+    import pyarrow as pa2
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    pq2.write_table(pa2.table({
+        "doc_id": pa2.array([r[0] for r in rows], pa2.int64()),
+        "text": pa2.array([r[1] for r in rows], pa2.string()),
+        "lang": pa2.array(["en"] * 3, pa2.string()),
+        "source": pa2.array(["s"] * 3, pa2.string()),
+        "n_chars": pa2.array([len(r[1]) for r in rows], pa2.int64()),
+    }), os.path.join(tmp, "documents.parquet"))
+    got = e2.queries()["doc_top_terms_tfidf"](spark, tmp).collect()
+    top1 = {r["doc_id"]: r["term"] for r in got if r["rank"] == 1}
+    assert top1[1] == "unique"
