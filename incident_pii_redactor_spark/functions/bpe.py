@@ -27,6 +27,8 @@ same word counts.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -113,12 +115,19 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
 
     ms = list(merges)
 
+    # ASCII \s+ split — str.split() treats U+00A0 etc. as separators
+    # while training's words()/Java/RE2 \s does not (review round 3);
+    # encode must tokenize exactly like training
+    _ws = re.compile(r"\s+", re.ASCII)
+
     @pandas_udf("struct<tokens: array<string>, n_tokens: long>")
     def enc(text: pd.Series) -> pd.DataFrame:
         toks_col, n_col = [], []
         for t in text:
             toks: list[str] = []
-            for w in (t or "").lower().split():
+            for w in _ws.split((t or "").lower()):
+                if not w:
+                    continue
                 toks.extend(_segment(w, ms))
             toks_col.append(toks)
             n_col.append(len(toks))

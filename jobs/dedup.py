@@ -116,8 +116,19 @@ def run(args, spark=None) -> dict:
             # precomputed hash INDEX (store hashes once, not re-hash
             # the corpus each snapshot); reading the pages table here
             # keeps the job self-contained.
-            hist = (read_pages(spark, args.against)
-                    .select(content_hash("text").alias("_h")).distinct())
+            hist = read_pages(spark, args.against)
+            if args.from_html:
+                # hash the SAME derivation on both sides: a raw-crawl
+                # history table has the same stale text column the new
+                # snapshot does (review round 3 — mismatched hashing
+                # would silently re-ingest everything)
+                from incident_pii_redactor_spark.functions.html import (
+                    extract_text,
+                )
+
+                hist = hist.withColumn("text", extract_text("html"))
+            hist = (hist.select(content_hash("text").alias("_h"))
+                    .distinct())
             df = (df.withColumn("_h", content_hash("text"))
                   .join(hist, "_h", "left_anti").drop("_h"))
             stats["rows_after_against"] = df.count()

@@ -87,9 +87,19 @@ def run(args, spark=None) -> dict:
                  "--bucket-group-size", str(args.bucket_group_size)]
         if args.salt:
             sargs.append("--salt")
-        if args.from_html and args.dedup_mode == "none":
-            # with a dedup stage, its output already carries the
-            # extracted text; only the dedup-less path extracts in scrub
+        if args.from_html and not args.paragraph:
+            # ALWAYS re-extract in the scrub stage too (not only when
+            # dedup was skipped): the html column survives into the
+            # deduped handoff and extraction is deterministic, so this
+            # is idempotent-safe AND covers the resume case where a
+            # committed deduped/ from an earlier run WITHOUT --from-html
+            # still carries stale text (review round 3). The one
+            # exception is --paragraph: its stage REWRITES text, so the
+            # handoff text is authoritative and re-extraction would
+            # undo the paragraph dedup — there the dedup stage (which
+            # got --from-html above) must have extracted; changing
+            # --from-html between a --paragraph run and its resume is
+            # unsupported (the manifest cannot record provenance).
             sargs.append("--from-html")
         stats["scrub"] = scrub_run(scrub_args(sargs), spark=spark)
         return stats

@@ -544,3 +544,50 @@ def test_dedup_job_from_html_prevents_placeholder_collapse(spark,
            .collect()}
     assert set(got) == {"https://a/1", "https://a/2"}
     assert got["https://a/1"] == "first real article body"
+
+
+def test_pipeline_resume_applies_from_html_to_scrub(spark, tmp_path_factory):
+    """A committed deduped/ from a run WITHOUT --from-html must not leak
+    stale text into a resumed run WITH it: the scrub stage re-extracts
+    from the surviving html column."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.pipeline import parse_args as pargs, run as prun
+
+    d = tmp_path_factory.mktemp("resumehtml")
+    ts = dt.datetime(2025, 1, 1)
+    seg = ("the quick brown fox jumps over the lazy dog and runs through "
+           "the field while the sun rises slowly over the quiet hills")
+    # three varied segments -> enough words to pass the keep thresholds
+    body = " ".join([seg,
+                     seg.replace("quick", "fast").replace("quiet", "green"),
+                     seg.replace("fox", "cat").replace("sun", "moon")])
+    rows = [("https://a/1", ts,
+             f"<p>{body}</p>".encode(), "stale placeholder", "en")]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), str(d / "pages.parquet"))
+
+    base = ["--input", str(d / "pages.parquet"),
+            "--workdir", str(d / "run"), "--dedup-mode", "exact",
+            "--n-buckets", "2", "--bucket-group-size", "2"]
+    prun(pargs(base), spark=spark)  # run 1: NO --from-html, commits deduped/
+    import shutil
+
+    shutil.rmtree(str(d / "run" / "scrubbed"))
+    shutil.rmtree(str(d / "run" / "manifest"))
+    prun(pargs(base + ["--from-html", "--run-id", "run2"]), spark=spark)
+    out = spark.read.parquet(str(d / "run" / "scrubbed")).collect()
+    assert len(out) == 1
+    # the scrub consumed the EXTRACTED body, not the stale placeholder
+    assert body.split()[1] in out[0].text_scrubbed
+    assert "stale placeholder" not in out[0].text_scrubbed
