@@ -145,3 +145,34 @@ def test_iban_mod97_construction(bban_num):
     # single-digit perturbation breaks mod-97
     mutated = iban[:6] + str((int(iban[6]) + 1) % 10) + iban[7:]
     assert not iban_valid(mutated)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_clean_unicode_idempotent(t):
+    """clean(clean(x)) == clean(x): NFC is idempotent and every
+    replacement/strip step is too — re-cleaning merged corpora is safe."""
+    from incident_pii_redactor_spark.quality.unicode_clean import (
+        clean_unicode)
+
+    once = clean_unicode(t)
+    assert clean_unicode(once) == once
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=120),
+       st.integers(1, 6))
+@settings(max_examples=100, deadline=None)
+def test_bpe_segment_reconstructs_word(word, n_merges):
+    """Concatenating a word's BPE segments always reconstructs
+    word + END — segmentation never loses or duplicates bytes under any
+    merge list learned from any corpus."""
+    from incident_pii_redactor_spark.functions.bpe import (
+        END, _segment, train_bpe_from_counts)
+
+    word = word.replace(" ", "")  # words are whitespace-free by construction
+    merges = [(a, b) for a, b, _ in
+              train_bpe_from_counts([(word, 3), ("shared text", 2)],
+                                    n_merges)]
+    segs = _segment(word, merges)
+    assert "".join(segs) == word + END

@@ -808,3 +808,27 @@ def test_tfidf_promotes_distinctive_terms(spark):
     got = e2.queries()["doc_top_terms_tfidf"](spark, tmp).collect()
     top1 = {r["doc_id"]: r["term"] for r in got if r["rank"] == 1}
     assert top1[1] == "unique"
+
+
+def test_extract_text_hostile_inputs_never_crash(spark):
+    """Real crawls carry invalid UTF-8, truncated tags, and absurd
+    nesting; the extractor must degrade (U+FFFD replacement, literal
+    passthrough of an unclosed '<div') rather than fail the task.
+    (DuckDB's decode() ERRORS on invalid UTF-8 — one more reason the
+    oracle synthesizes valid pages; the ENGINE path is pinned here.)"""
+    from incident_pii_redactor_spark.functions.html import extract_text
+
+    blobs = [
+        b"\xff\xfe<p>hi</p>",
+        b"<p>ok\x80bad</p>",
+        b"<div",
+        b"<p>" + b"<b>" * 5000 + b"deep" + b"</b>" * 5000 + b"</p>",
+        b"",
+    ]
+    df = spark.createDataFrame([(b,) for b in blobs], "html binary")
+    got = [r[0] for r in df.select(extract_text("html")).collect()]
+    assert got[0].endswith("hi") and "�" in got[0]
+    assert got[1] == "ok�bad"
+    assert got[2] == "<div"   # unclosed tag: literal, not dropped text
+    assert got[3] == "deep"
+    assert got[4] == ""
