@@ -218,3 +218,22 @@ def canonical_url_sql(expr: str) -> str:
     tail = f"regexp_replace({tail}, '^([^?&]*)&', '\\1?')"
     tail = f"regexp_replace({tail}, '/$', '')"
     return f"({head} || {tail})"
+
+
+# junk-path patterns (C4-era URL rules): non-content page families that
+# survive canonicalization — shared with the DuckDB twin, RE2-safe
+URL_JUNK_RE = (
+    "(?i)/(wp-admin|wp-login|login|signup|register|cart|checkout|"
+    "search|tag|category|feed|trackback)([/?#]|$)"
+    "|\\.(xml|rss|atom|css|js)([?#]|$)"
+)
+
+
+def url_is_junk(url: str | Column = "url") -> Column:
+    """True for URL shapes that are overwhelmingly non-content (admin
+    and auth pages, carts, search/tag/category indexes, feeds, asset
+    files) — the cheap URL-level filter crawl pipelines apply BEFORE
+    fetching or extracting anything. Pure Catalyst rlike; DuckDB twin:
+    ``regexp_matches(url, URL_JUNK_RE)``."""
+    c = F.col(url) if isinstance(url, str) else url
+    return c.rlike(URL_JUNK_RE)

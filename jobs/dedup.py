@@ -79,6 +79,12 @@ def parse_args(argv=None):
                         "placeholder text column would collapse the "
                         "corpus); downstream stages then see the "
                         "extracted text")
+    p.add_argument("--clean-unicode", action="store_true",
+                   help="normalize text (NFC, CRLF, space/zero-width "
+                        "families, control strip) BEFORE hashing so "
+                        "byte-distinct-but-identical-looking pages dedup "
+                        "together (quality/unicode_clean.py); downstream "
+                        "stages see the normalized text")
     p.add_argument("--url-canonical", action="store_true",
                    help="FIRST dedup cross-snapshot re-crawls: group by "
                         "canonical URL (functions/text.py:canonical_url) "
@@ -105,6 +111,12 @@ def run(args, spark=None) -> dict:
             )
 
             df = df.withColumn("text", extract_text("html"))
+        if args.clean_unicode:
+            from incident_pii_redactor_spark.quality.unicode_clean import (
+                with_clean_text,
+            )
+
+            df = with_clean_text(df)
         stats = {"rows_in": df.count()}
 
         if args.against:

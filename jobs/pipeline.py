@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--paragraph", action="store_true")
     p.add_argument("--url-canonical", action="store_true",
                    help="cross-snapshot latest-wins URL dedup first")
+    p.add_argument("--clean-unicode", action="store_true",
+                   help="normalize text before dedup hashing")
     p.add_argument("--against", default=None,
                    help="historical corpus for incremental ingestion")
     p.add_argument("--from-html", action="store_true",
@@ -69,6 +71,8 @@ def run(args, spark=None) -> dict:
                 dargs.append("--paragraph")
             if args.url_canonical:
                 dargs.append("--url-canonical")
+            if args.clean_unicode:
+                dargs.append("--clean-unicode")
             if args.against:
                 dargs += ["--against", args.against]
             if args.from_html:

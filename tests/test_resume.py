@@ -591,3 +591,47 @@ def test_pipeline_resume_applies_from_html_to_scrub(spark, tmp_path_factory):
     # the scrub consumed the EXTRACTED body, not the stale placeholder
     assert body.split()[1] in out[0].text_scrubbed
     assert "stale placeholder" not in out[0].text_scrubbed
+
+
+def test_dedup_job_clean_unicode_unifies_lookalikes(spark,
+                                                    tmp_path_factory):
+    """--clean-unicode makes the NFC-composed and decomposed spellings
+    of the same page hash identically, so they collapse in the exact
+    stage (without the flag they both survive)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("unidedup")
+    ts = dt.datetime(2025, 1, 1)
+    composed = "Café menu du jour"
+    decomposed = "Café menu du jour"
+    assert composed != decomposed
+    rows = [("https://a/1", ts, b"", composed, "fr"),
+            ("https://a/2", ts, b"", decomposed, "fr"),
+            ("https://a/3", ts, b"", "entirely different page", "en")]
+    mk = lambda path: pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), path)
+    mk(str(d / "pages.parquet"))
+
+    without = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"),
+         "--output", str(d / "o1"), "--mode", "exact"]), spark=spark)
+    assert without["rows_out"] == 3  # byte-distinct -> no collapse
+    with_flag = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"),
+         "--output", str(d / "o2"), "--mode", "exact",
+         "--clean-unicode"]), spark=spark)
+    assert with_flag["rows_out"] == 2
+    texts = {r.text for r in spark.read.parquet(str(d / "o2")).collect()}
+    assert composed in texts  # survivors carry the NORMALIZED spelling
