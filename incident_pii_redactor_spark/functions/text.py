@@ -174,7 +174,14 @@ def quality_prefilter(
 # scheme://host[:port] prefix (everything before the first /, ? or #)
 URL_HEAD_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 # tracking query params dropped by canonicalization
-URL_TRACK_RE = "[?&](utm_[A-Za-z]+|fbclid|gclid|ref_src)=[^&#]*"
+_TRACK_PARAMS = "(utm_[A-Za-z]+|fbclid|gclid|ref_src)"
+# a RUN of tracking params right after '?', each followed by '&' (i.e.
+# more params follow) — replaced by a bare '?' so the first surviving
+# param keeps its '?' without any blanket '&'->'?' promotion (review
+# round 3: the blanket promotion rewrote literal '&' in query-less
+# paths, e.g. https://x.y/a&b -> https://x.y/a?b)
+URL_TRACK_HEAD_RE = f"\\?({_TRACK_PARAMS}=[^&#]*&)+"
+URL_TRACK_RE = f"[?&]{_TRACK_PARAMS}=[^&#]*"
 
 
 def canonical_url(url: str | Column = "url") -> Column:
@@ -184,7 +191,9 @@ def canonical_url(url: str | Column = "url") -> Column:
     2. strip default ports ``:80`` / ``:443``,
     3. strip the ``#fragment``,
     4. strip tracking params (``utm_*``, ``fbclid``, ``gclid``,
-       ``ref_src``), re-promoting the first surviving ``&`` to ``?``,
+       ``ref_src``); when the run of params directly after ``?`` is all
+       tracking, the ``?`` itself survives onto the first kept param —
+       a literal ``&`` in a query-less path is never rewritten,
     5. strip a trailing ``/`` from the path.
 
     Pure Catalyst (regexp chain, WholeStageCodegen). The DuckDB twin
@@ -198,10 +207,10 @@ def canonical_url(url: str | Column = "url") -> Column:
     head = F.regexp_replace(F.lower(head_raw), ":(80|443)$", "")
     tail = c.substr(F.length(head_raw) + F.lit(1), F.length(c))
     tail = F.regexp_replace(tail, "#.*", "")
+    # '?utm_x=1&utm_y=2&id=3' -> '?id=3' in two steps: collapse the
+    # ?-leading tracking run to a bare '?', then drop the rest
+    tail = F.regexp_replace(tail, URL_TRACK_HEAD_RE, "?")
     tail = F.regexp_replace(tail, URL_TRACK_RE, "")
-    # '/p?utm_x=1&id=3' lost its '?' with the utm param -> '/p&id=3';
-    # promote the first '&' (no '?' before it) back to '?'
-    tail = F.regexp_replace(tail, "^([^?&]*)&", "$1?")
     tail = F.regexp_replace(tail, "/$", "")
     return F.concat(head, tail)
 
@@ -214,8 +223,8 @@ def canonical_url_sql(expr: str) -> str:
     head = f"regexp_replace(lower({head_raw}), ':(80|443)$', '')"
     tail = f"substring({expr}, length({head_raw}) + 1)"
     tail = f"regexp_replace({tail}, '#.*', '')"
+    tail = f"regexp_replace({tail}, '{URL_TRACK_HEAD_RE}', '?', 'g')"
     tail = f"regexp_replace({tail}, '{URL_TRACK_RE}', '', 'g')"
-    tail = f"regexp_replace({tail}, '^([^?&]*)&', '\\1?')"
     tail = f"regexp_replace({tail}, '/$', '')"
     return f"({head} || {tail})"
 
@@ -225,7 +234,10 @@ def canonical_url_sql(expr: str) -> str:
 URL_JUNK_RE = (
     "(?i)/(wp-admin|wp-login|login|signup|register|cart|checkout|"
     "search|tag|category|feed|trackback)([/?#]|$)"
-    "|\\.(xml|rss|atom|css|js)([?#]|$)"
+    # asset extension must terminate the PATH — '://host/…' ahead of it
+    # so a hostname that happens to end in .js/.css (https://foo.js) is
+    # not an asset (RE2-safe: structure, not lookbehind)
+    "|://[^/?#]+/[^?#]*\\.(xml|rss|atom|css|js)([?#]|$)"
 )
 
 

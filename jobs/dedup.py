@@ -139,6 +139,17 @@ def run(args, spark=None) -> dict:
                 )
 
                 hist = hist.withColumn("text", extract_text("html"))
+            if args.clean_unicode:
+                # same rule as --from-html directly above: hash the SAME
+                # derivation on both sides. Without this, a historical
+                # page containing normalizable bytes (NFD accents, NBSP,
+                # CRLF) hashes differently from its NFC-clean re-crawl
+                # and true cross-snapshot dups are silently re-ingested.
+                from incident_pii_redactor_spark.quality.unicode_clean import (
+                    with_clean_text,
+                )
+
+                hist = with_clean_text(hist)
             hist = (hist.select(content_hash("text").alias("_h"))
                     .distinct())
             df = (df.withColumn("_h", content_hash("text"))

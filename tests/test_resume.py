@@ -635,3 +635,48 @@ def test_dedup_job_clean_unicode_unifies_lookalikes(spark,
     assert with_flag["rows_out"] == 2
     texts = {r.text for r in spark.read.parquet(str(d / "o2")).collect()}
     assert composed in texts  # survivors carry the NORMALIZED spelling
+
+
+def test_dedup_job_against_history_respects_clean_unicode(
+        spark, tmp_path_factory):
+    """--against + --clean-unicode hash the SAME derivation on both
+    sides: a historical page stored with decomposed accents / NBSP /
+    CRLF must still kill its NFC-clean re-crawl (advice round 3 — the
+    history side previously hashed raw, silently re-ingesting every
+    normalizable cross-snapshot duplicate)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("againstuni")
+    ts = dt.datetime(2025, 1, 1)
+    composed = "Caf\u00e9 menu\ndu jour"  # NFC + LF, fresh-crawl bytes
+    # NFD accent + NBSP + CRLF: bytes a WARC-era snapshot carries
+    decomposed = "Cafe\u0301\u00a0menu\r\ndu jour"
+    assert composed != decomposed
+    mk = lambda rows, path: pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False), path)
+    mk([("https://h/1", ts, b"", decomposed, "fr")],
+       str(d / "history.parquet"))
+    mk([("https://n/1", ts, b"", composed, "fr"),
+        ("https://n/2", ts, b"", "a genuinely new page", "en")],
+       str(d / "new.parquet"))
+
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "new.parquet"),
+         "--against", str(d / "history.parquet"),
+         "--output", str(d / "out"), "--mode", "exact",
+         "--clean-unicode"]), spark=spark)
+    assert stats["rows_after_against"] == 1  # n/1 == normalized h/1
+    urls = {r.url for r in spark.read.parquet(str(d / "out")).collect()}
+    assert urls == {"https://n/2"}

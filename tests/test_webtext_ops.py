@@ -35,6 +35,14 @@ def test_canonical_url_rules(spark):
         "https://x.y/P?id=1&ref=2": "https://x.y/P?id=1&ref=2",
         # non-default port preserved
         "https://x.y:8443/p": "https://x.y:8443/p",
+        # literal '&' in a query-less path is NOT rewritten to '?'
+        # (advice round 3: the blanket '&'->'?' promotion collapsed
+        # genuinely distinct URLs into one dedup key)
+        "https://x.y/a&b": "https://x.y/a&b",
+        # a RUN of leading tracking params all strips, '?' survives
+        "https://a.b/p?utm_a=1&fbclid=2&id=3": "https://a.b/p?id=3",
+        # only tracking params -> query gone entirely
+        "https://a.b/p?utm_a=1&gclid=2": "https://a.b/p",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["c"]
@@ -85,6 +93,28 @@ def test_url_canonical_dedup_groups_variants(spark):
         assert "#" not in u and "utm_" not in u and ":443" not in u
         assert u == u.split("://")[0].lower() + "://" + u.split("://")[1]
     assert any(r["n_dups"] > 1 for r in out)
+
+
+def test_url_junk_asset_extension_requires_path(spark):
+    """Asset extensions (.js/.css/.xml/...) classify junk only when they
+    terminate a PATH component — a hostname ending in .js is a site, not
+    an asset (advice round 3)."""
+    from incident_pii_redactor_spark.functions.text import url_is_junk
+
+    cases = {
+        "https://foo.js": False,           # hostname, no path
+        "https://site.css": False,
+        "https://foo.js/docs/intro": False,
+        "https://x.y/app.js": True,        # real asset paths stay junk
+        "https://x.y/feed.xml?page=2": True,
+        "https://x.y/a/styles.css#top": True,
+        "https://x.y/wp-admin/options": True,  # path-family rule intact
+        "https://x.y/article/js-tips": False,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["j"]
+           for r in df.select("url", url_is_junk("url").alias("j")).collect()}
+    assert got == cases
 
 
 # ---------------------------------------------------------------------------
