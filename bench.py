@@ -51,7 +51,7 @@ def family_of(name: str) -> str:
         return "dedup"
     if name.startswith("doc_"):
         return "doctext"
-    if name.startswith("events") or name == "user_sessions":
+    if name.startswith("events"):
         return "events"
     if name[0] == "q" and name[1].isdigit():
         return "tpch"

@@ -203,7 +203,7 @@ def test_dsir_driver_query_avg_ordering(spark):
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
-    out = entry.queries()["doc_dsir_weights"](spark, sf)
+    out = entry.queries()["doc_model_scores"](spark, sf)
     langs = _docs(spark).select("doc_id", "lang")
     avg = {
         r["is_en"]: r["w"]
@@ -490,7 +490,7 @@ def test_ccnet_buckets_proportions(spark):
     percent_rank with total-order tie-break)."""
     import __spark_entry__ as entry
 
-    out = entry.queries()["doc_ccnet_buckets"](
+    out = entry.queries()["doc_nb_distilled"](
         spark, "/root/testdata/sf0.001").collect()
     by_lang = {}
     for r in out:
@@ -552,7 +552,7 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
 def test_license_signals_classes(spark):
     import __spark_entry__ as entry
 
-    out = {r["doc_id"]: r for r in entry.queries()["doc_license_signals"](
+    out = {r["doc_id"]: r for r in entry.queries()["doc_quality_signals"](
         spark, "/root/testdata/sf0.001").collect()}
     for did, r in out.items():
         m = did % 7
