@@ -31,7 +31,9 @@ from __future__ import annotations
 import json
 import time
 from collections.abc import Callable
+from dataclasses import dataclass, field
 from datetime import datetime, timedelta
+from pathlib import Path
 
 
 class TransportError(Exception):
@@ -131,3 +133,154 @@ def save_jsonl(rows: list[dict], path: str) -> int:
             json.dump(r, f)
             f.write("\n")
     return len(rows)
+
+
+# --------------------------------------------------------------------------
+# Multi-platform collection orchestrator — reference
+# ``src/data_collection_orchestrator.py:54-160``, generalized from its
+# single live platform (Rootly) to N injected collectors. Per-platform
+# failure isolation (:95-108): one platform's exception becomes a failed
+# CollectionResult, the others' outputs are kept. Per-platform JSONL
+# files (:78-82) plus a merged ``all_incidents.jsonl`` (each row tagged
+# with its platform) so the S1 scan ingests one path, and a
+# ``collection_summary.json`` sidecar (:136-156).
+# --------------------------------------------------------------------------
+
+_EPOCH = datetime(1970, 1, 1)  # injected in real use; no wall clock
+
+
+@dataclass
+class CollectionResult:
+    """Reference ``CollectionResult`` (:18-26), field-for-field."""
+
+    platform: str
+    incidents_collected: int
+    output_file: str
+    collection_time: str
+    success: bool
+    error_message: str | None = None
+
+
+@dataclass
+class CollectionSummary:
+    """Reference ``CollectionSummary`` (:28-37), plus the merged path."""
+
+    total_platforms: int
+    successful_collections: int
+    failed_collections: int
+    total_incidents: int
+    collection_results: list[CollectionResult] = field(default_factory=list)
+    output_directory: str = ""
+    collection_timestamp: str = ""
+    merged_file: str = ""
+
+
+class CollectionOrchestrator:
+    """Thin fan-out over injected per-platform collectors.
+
+    ``collectors`` maps platform name -> zero-arg callable returning the
+    incident dicts (in practice ``lambda: IncidentCollector(t).collect_
+    incidents(...)``) — the injection seam mirrors the reference's
+    ``self.collectors`` registry (:47-49) and keeps this testable with
+    no network."""
+
+    def __init__(
+        self,
+        collectors: dict[str, Callable[[], list[dict]]],
+        output_dir: str,
+        now: Callable[[], datetime] = lambda: _EPOCH,
+    ) -> None:
+        self.collectors = dict(collectors)
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self._now = now
+
+    def get_supported_platforms(self) -> list[str]:
+        return sorted(self.collectors)
+
+    def collect_from_platform(self, platform: str) -> CollectionResult:
+        """One platform; any collector exception -> failed result with
+        the message, never an exception out (reference :95-108)."""
+        ts = self._now().isoformat()
+        if platform not in self.collectors:
+            return CollectionResult(
+                platform=platform, incidents_collected=0, output_file="",
+                collection_time=ts, success=False,
+                error_message=f"Unsupported platform: {platform}")
+        try:
+            rows = self.collectors[platform]()
+            out = self.output_dir / f"{platform}_incidents.jsonl"
+            save_jsonl(rows, str(out))
+            return CollectionResult(
+                platform=platform, incidents_collected=len(rows),
+                output_file=str(out), collection_time=ts, success=True)
+        except Exception as e:  # noqa: BLE001 — isolation IS the contract
+            return CollectionResult(
+                platform=platform, incidents_collected=0, output_file="",
+                collection_time=ts, success=False, error_message=str(e))
+
+    def collect_from_all_platforms(self) -> CollectionSummary:
+        """Fan out across every registered platform; failures don't
+        abort the loop. Writes per-platform JSONL, the merged
+        ``all_incidents.jsonl`` (rows tagged ``platform``), and the
+        ``collection_summary.json`` sidecar (reference :110-158)."""
+        results = [self.collect_from_platform(p)
+                   for p in self.get_supported_platforms()]
+        merged = self.output_dir / "all_incidents.jsonl"
+        n_merged = 0
+        with open(merged, "w") as f:
+            for r in results:
+                if not r.success:
+                    continue
+                with open(r.output_file) as pf:
+                    for line in pf:
+                        if not line.strip():
+                            continue
+                        row = json.loads(line)
+                        row["platform"] = r.platform
+                        json.dump(row, f)
+                        f.write("\n")
+                        n_merged += 1
+        summary = CollectionSummary(
+            total_platforms=len(results),
+            successful_collections=sum(r.success for r in results),
+            failed_collections=sum(not r.success for r in results),
+            total_incidents=sum(r.incidents_collected for r in results),
+            collection_results=results,
+            output_directory=str(self.output_dir),
+            collection_timestamp=self._now().isoformat(),
+            merged_file=str(merged) if n_merged else "",
+        )
+        with open(self.output_dir / "collection_summary.json", "w") as f:
+            json.dump({
+                "total_platforms": summary.total_platforms,
+                "successful_collections": summary.successful_collections,
+                "failed_collections": summary.failed_collections,
+                "total_incidents": summary.total_incidents,
+                "output_directory": summary.output_directory,
+                "collection_timestamp": summary.collection_timestamp,
+                "merged_file": summary.merged_file,
+                "platform_results": [vars(r) for r in results],
+            }, f, indent=2)
+        return summary
+
+    def collection_statistics(self) -> dict:
+        """Post-hoc stats over the output directory (reference
+        ``get_collection_statistics`` :177-208): per-platform file sizes
+        and incident counts re-derived from the files themselves."""
+        stats = {"total_files": 0, "total_incidents": 0,
+                 "platforms_with_data": [], "file_sizes": {}}
+        for path in sorted(self.output_dir.glob("*_incidents.jsonl")):
+            if path.name == "all_incidents.jsonl":
+                continue  # the merged file is not a platform
+            platform = path.stem.replace("_incidents", "")
+            with open(path) as f:
+                n = sum(1 for line in f if line.strip())
+            stats["platforms_with_data"].append(platform)
+            stats["total_files"] += 1
+            stats["total_incidents"] += n
+            stats["file_sizes"][platform] = {
+                "file_size_mb": path.stat().st_size / (1024 * 1024),
+                "incident_count": n,
+            }
+        return stats

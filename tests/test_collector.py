@@ -126,3 +126,82 @@ def test_limit_applies_on_final_page():
     c = IncidentCollector(_paged_transport(pages), sleep=lambda s: 0)
     got = c.collect_incidents(limit=5)
     assert [r["id"] for r in got] == [f"inc-{i:03d}" for i in range(5)]
+
+
+# ---- Multi-platform orchestrator (reference data_collection_orchestrator.py)
+
+
+def _fake_platform(n, prefix):
+    return lambda: [_incident(i) | {"id": f"{prefix}-{i:03d}"}
+                    for i in range(n)]
+
+
+def _boom():
+    raise TransportError("platform API is down")
+
+
+def test_orchestrator_isolates_platform_failure(tmp_path):
+    """Two platforms, one failing: the loop completes, the failure is a
+    result row (not an exception), and the healthy platform's JSONL +
+    the merged file + the summary sidecar all land (reference
+    :95-158 semantics over N platforms)."""
+    import json
+
+    from incident_pii_redactor_spark.sources.collector import (
+        CollectionOrchestrator,
+    )
+
+    orch = CollectionOrchestrator(
+        {"alpha": _fake_platform(3, "alpha"), "beta": _boom},
+        output_dir=str(tmp_path),
+    )
+    summary = orch.collect_from_all_platforms()
+    assert summary.total_platforms == 2
+    assert summary.successful_collections == 1
+    assert summary.failed_collections == 1
+    assert summary.total_incidents == 3
+    by_platform = {r.platform: r for r in summary.collection_results}
+    assert by_platform["beta"].success is False
+    assert "down" in by_platform["beta"].error_message
+    assert by_platform["alpha"].success is True
+
+    # partial output preserved: alpha's file + the merged file exist
+    merged = [json.loads(x) for x in
+              open(summary.merged_file) if x.strip()]
+    assert [r["id"] for r in merged] == [f"alpha-{i:03d}" for i in range(3)]
+    assert all(r["platform"] == "alpha" for r in merged)
+    sidecar = json.load(open(tmp_path / "collection_summary.json"))
+    assert sidecar["failed_collections"] == 1
+    assert sidecar["platform_results"][1]["platform"] == "beta"
+
+    stats = orch.collection_statistics()
+    assert stats["platforms_with_data"] == ["alpha"]
+    assert stats["total_incidents"] == 3
+
+
+def test_orchestrator_unknown_platform_and_merge_feeds_s1(
+        tmp_path, spark):
+    """Unknown platform -> failed result, never a KeyError; the merged
+    JSONL is scannable by the S1 reader (full orchestrate -> scan
+    path)."""
+    from incident_pii_redactor_spark.sources.collector import (
+        CollectionOrchestrator,
+    )
+    from incident_pii_redactor_spark.sources.incidents import (
+        read_incidents_jsonl,
+    )
+
+    orch = CollectionOrchestrator(
+        {"alpha": _fake_platform(2, "alpha"),
+         "gamma": _fake_platform(1, "gamma")},
+        output_dir=str(tmp_path),
+    )
+    bad = orch.collect_from_platform("nope")
+    assert bad.success is False and "Unsupported" in bad.error_message
+
+    summary = orch.collect_from_all_platforms()
+    assert summary.successful_collections == 2
+    got = {r.incident_id for r in
+           read_incidents_jsonl(spark, summary.merged_file)
+           .selectExpr("id as incident_id").collect()}
+    assert got == {"alpha-000", "alpha-001", "gamma-000"}

@@ -676,7 +676,67 @@ def test_connected_components_chains_and_isolates(spark):
     import pytest
 
     with pytest.raises(RuntimeError, match="fixed point"):
-        connected_components(edges, max_iter=1)  # diameter-3 chain
+        # diameter-3 chain; algorithm="label" keeps the strict raise
+        connected_components(edges, max_iter=1, algorithm="label")
+
+    # default "auto": the same over-budget call falls back to
+    # large-star/small-star and still returns the exact labeling
+    got_auto = {r.node: r.comp
+                for r in connected_components(edges, max_iter=1).collect()}
+    assert got_auto == got
+
+
+def test_connected_components_star_path_graph_logn_rounds(spark):
+    """Large-star/small-star (Kiveris et al. 2014) on a 50-edge path
+    graph: min-label propagation needs 50 rounds (O(diameter)); the
+    star algorithm must converge inside an O(log n) budget of 10
+    rounds and label every node with the path minimum."""
+    from incident_pii_redactor_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    n = 51
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r.node: r.comp
+           for r in connected_components_star(edges, max_iter=10)
+           .collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Star CC equals a python union-find oracle on a messy random
+    graph (multi-component, duplicate + reversed + self edges)."""
+    import random
+
+    from incident_pii_redactor_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    nodes = list(range(200))
+    raw = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    raw += [(b, a) for a, b in raw[:30]] + [(7, 7), (42, 42)]
+
+    parent = {v: v for ab in raw for v in ab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        parent[find(a)] = find(b)
+    want_sets = {}
+    for v in parent:
+        want_sets.setdefault(find(v), set()).add(v)
+    want = {v: min(s) for s in want_sets.values() for v in s}
+
+    edges = spark.createDataFrame(raw, "id_a long, id_b long")
+    got = {r.node: r.comp
+           for r in connected_components_star(edges).collect()}
+    assert got == want
 
 
 def test_mp4_corrupt_variants_fall_back():
