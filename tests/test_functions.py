@@ -582,6 +582,144 @@ def test_bmp_pixel_feature_responds_to_pixels(spark):
     assert len(got[2]) == 64 and not np.allclose(got[2], f_white)
 
 
+def _make_png(arr, ctype, filters=None, interlace=0, plte=None):
+    """Minimal PNG writer (test-only): applies the REQUESTED filter type
+    per row (computing real residuals), zlib-compresses, real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    nb = 1 if arr.ndim == 2 else arr.shape[2]
+    px = arr.reshape(h, w * nb).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nb, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = px[y]
+        left = np.zeros_like(cur)
+        left[nb:] = cur[:-nb]
+        pleft = np.zeros_like(prev)
+        pleft[nb:] = prev[:-nb]
+        if f == 0:
+            res = cur
+        elif f == 1:
+            res = cur - left
+        elif f == 2:
+            res = cur - prev
+        elif f == 3:
+            res = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - pleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - pleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, pleft))
+            res = cur - pred
+        raw += bytes([f]) + (res & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_pixel_decode_all_filters_and_color_types():
+    """VERDICT round-3 item 7: real PNG pixel decode via stdlib zlib.
+    Every row-filter type (None/Sub/Up/Average/Paeth) must invert
+    exactly; gray/RGB/palette/RGBA color types decode; interlaced and
+    corrupt streams return None (fallback), never raise."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    # one row per filter type: exact inversion proves each filter path
+    png = _make_png(rgb, ctype=2, filters=[0, 1, 2, 3, 4])
+    luma = _decode_png_pixels(png)
+    want = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+            + 0.114 * rgb[..., 2]).astype(np.float32)
+    np.testing.assert_allclose(luma, want, atol=1e-3)
+
+    gray = rng.randint(0, 256, size=(6, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        _decode_png_pixels(_make_png(gray, ctype=0, filters=[4, 3, 2, 1, 0, 4])),
+        gray.astype(np.float32), atol=1e-3)
+
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    want_rgba = (0.299 * rgba[..., 0] + 0.587 * rgba[..., 1]
+                 + 0.114 * rgba[..., 2]).astype(np.float32)
+    np.testing.assert_allclose(
+        _decode_png_pixels(_make_png(rgba, ctype=6, filters=[1, 2, 4])),
+        want_rgba, atol=1e-3)
+
+    # palette: index plane + PLTE lookup
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    pal = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    luma_p = _decode_png_pixels(_make_png(idx, ctype=3, plte=pal))
+    np.testing.assert_allclose(
+        luma_p, np.where(idx == 0, 0.299 * 255, 0.114 * 255), atol=1e-3)
+
+    # refusals -> None (fallback), never an exception
+    assert _decode_png_pixels(_make_png(gray, ctype=0, interlace=1)) is None
+    assert _decode_png_pixels(png[:40]) is None           # truncated
+    bad_idat = png.replace(b"IDAT", b"IDAX")              # no pixel data
+    assert _decode_png_pixels(bad_idat) is None
+    # palette index out of range
+    assert _decode_png_pixels(
+        _make_png(np.full((2, 2), 9, np.uint8), ctype=3, plte=pal)) is None
+
+
+def test_png_pixel_feature_responds_to_pixels(spark):
+    """The image feature UDF takes the REAL path for PNGs: it tracks
+    pixel content positionally, ignores trailing bytes after IEND, and
+    matches the direct luma-grid computation through Spark."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_png_pixels,
+        _luma_grid_feature,
+        image_feature_udf,
+    )
+
+    white = _make_png(np.full((16, 16, 3), 255, np.uint8), ctype=2)
+    f_white = _luma_grid_feature(_decode_png_pixels(white), 64)
+    assert np.allclose(f_white, 1.0, atol=0.01)
+
+    dot_arr = np.full((16, 16, 3), 255, np.uint8)
+    dot_arr[0, 0] = 0
+    dot = _make_png(dot_arr, ctype=2, filters=[4] * 16)
+    f_dot = _luma_grid_feature(_decode_png_pixels(dot), 64).reshape(8, 8)
+    assert f_dot[0, 0] < 0.9 and np.allclose(f_dot.ravel()[1:], 1.0,
+                                             atol=0.01)
+
+    # same pixels + trailing garbage after IEND -> identical feature
+    np.testing.assert_array_equal(
+        _luma_grid_feature(_decode_png_pixels(white + b"garbage"), 64),
+        f_white)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(white)), (2, bytearray(dot))],
+        "id long, blob binary")
+    feat = image_feature_udf(64)
+    got = {r.id: np.array(r.f, dtype=np.float32) for r in
+           df.select("id", feat("blob").alias("f")).collect()}
+    np.testing.assert_allclose(got[1], f_white, rtol=1e-6)
+    np.testing.assert_allclose(got[2], f_dot.ravel(), rtol=1e-6)
+
+
 def test_two_level_topk_ops_partition_invariant(spark):
     """doc_source_cap and doc_word_kmv_sketch aggregate per input
     partition (spark_partition_id) before merging — their RESULTS must
