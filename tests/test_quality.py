@@ -117,3 +117,26 @@ def test_duplicate_paragraphs_dropped():
     s = _sig([GOOD + ("\n\n" + para) * 8])
     assert not bool(s["keep"][0])
     assert s["drop_reason"][0] in ("dup_para_frac", "dup_line_frac")
+
+
+def test_top_bigram_fused_key_equals_compacted_key(monkeypatch):
+    """The single-pass composite-key path (default) and the huge-vocab
+    two-step compaction path must produce bit-identical top_bigram_frac
+    — the branch only exists to dodge int64 overflow at extreme
+    docs*vocab^2, never to change values."""
+    import numpy as np
+    import pandas as pd
+
+    import incident_pii_redactor_spark.quality.heuristics as H
+
+    texts = pd.Series([
+        "the cat sat on the mat the cat sat again",
+        "one two one two one two one two",
+        "all unique words here today friend",
+        "", "solo",
+    ] * 40)
+    fused = H.heuristic_signals(texts)["top_bigram_frac"].to_numpy()
+    monkeypatch.setattr(H, "_KEY_FUSE_LIMIT", 0)  # force two-step branch
+    compacted = H.heuristic_signals(texts)["top_bigram_frac"].to_numpy()
+    assert np.array_equal(fused, compacted)
+    assert fused[1] == 4 / 7  # "one two": top bigram 4 of 7 occurrences
