@@ -69,10 +69,16 @@ def parse_args(argv=None):
                         "O(cluster diameter) extra join rounds; see "
                         "functions/graph.py")
     p.add_argument("--cc-max-iter", type=int, default=50,
-                   help="round budget for --exact-clusters (each round = "
-                        "one join; the algorithm needs graph diameter + 1 "
-                        "rounds, and raises rather than returning an "
-                        "under-merged labeling if exceeded)")
+                   help="round budget for --exact-clusters label "
+                        "propagation (each round = one join; needs graph "
+                        "diameter + 1 rounds)")
+    p.add_argument("--cc-algorithm", default="auto",
+                   choices=("auto", "label", "star"),
+                   help="connected-components strategy: label propagation "
+                        "(O(diameter) rounds, raises past --cc-max-iter), "
+                        "large-star/small-star (O(log^2 n) rounds for "
+                        "long-chain graphs), or auto = label with star "
+                        "fallback (default)")
     p.add_argument("--from-html", action="store_true",
                    help="derive text = extract_text(html) BEFORE any "
                         "dedup (raw-crawl ingestion: hashing a stale or "
@@ -207,7 +213,8 @@ def run(args, spark=None) -> dict:
                 )
 
                 drops = (
-                    cluster_keepers(pairs, max_iter=args.cc_max_iter)
+                    cluster_keepers(pairs, max_iter=args.cc_max_iter,
+                                    algorithm=args.cc_algorithm)
                     .filter(F.col("node") != F.col("keeper"))
                     .select(F.col("node").alias("url"))
                 )

@@ -862,3 +862,28 @@ def test_extract_text_hostile_inputs_never_crash(spark):
     assert got[2] == "<div"   # unclosed tag: literal, not dropped text
     assert got[3] == "deep"
     assert got[4] == ""
+
+
+def test_mixture_weights_flatten_source_skew(spark):
+    """doc_source_quality_rollup's UniMax-style T=2 mixture weight:
+    weights sum to 1, and the sqrt temperature moves mass from the
+    dominant host toward the tail relative to proportional sampling —
+    the whole point of temperature-scaled mixtures."""
+    import __spark_entry__ as entry
+
+    rows = entry._doc_source_quality_rollup(
+        spark, "/root/testdata/sf0.001").collect()
+    tokens = {r.source: r.n_tokens for r in rows}
+    weights = {r.source: r.mix_weight_t2 for r in rows}
+    total = sum(tokens.values())
+
+    assert abs(sum(weights.values()) - 1.0) < 1e-4  # ROUND6 per row
+    biggest = max(tokens, key=tokens.get)
+    smallest = min(tokens, key=tokens.get)
+    if tokens[biggest] > tokens[smallest]:  # guard degenerate uniform
+        assert weights[biggest] < tokens[biggest] / total
+        assert weights[smallest] > tokens[smallest] / total
+    # monotone: more tokens never means a smaller weight
+    by_tok = sorted(rows, key=lambda r: r.n_tokens)
+    for a, b in zip(by_tok, by_tok[1:]):
+        assert a.mix_weight_t2 <= b.mix_weight_t2 + 1e-9
