@@ -71,6 +71,39 @@ def extract_text(html: str | Column = "html") -> Column:
     return F.trim(s)
 
 
+# link / robots-directive signals (round 4): crawl pipelines count
+# outlinks (boilerplate/link-farm indicator, PageRank-ish host signals)
+# and honor <meta name=robots content=noindex> before keeping a page.
+# RE2-safe, shared verbatim with the DuckDB twins below.
+_LINK_RE = "(?i)<a[ \\t][^>]*href"
+_NOINDEX_RE = "(?i)<meta[^>]*noindex"
+
+
+def count_links(html: str | Column = "html") -> Column:
+    """Number of anchor-with-href tags in the raw HTML (bigint)."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.size(
+        F.regexp_extract_all(c.cast("string"), F.lit(_LINK_RE), F.lit(0))
+    ).cast("bigint")
+
+
+def has_noindex(html: str | Column = "html") -> Column:
+    """True when a meta robots noindex directive is present."""
+    c = F.col(html) if isinstance(html, str) else html
+    return c.cast("string").rlike(_NOINDEX_RE)
+
+
+def count_links_sql(expr: str) -> str:
+    """DuckDB twin of :func:`count_links` (same pattern constant)."""
+    return (f"CAST(len(regexp_extract_all(decode({expr}::BLOB), "
+            f"'{_LINK_RE}')) AS BIGINT)")
+
+
+def has_noindex_sql(expr: str) -> str:
+    """DuckDB twin of :func:`has_noindex` (same pattern constant)."""
+    return f"regexp_matches(decode({expr}::BLOB), '{_NOINDEX_RE}')"
+
+
 def extract_text_sql(expr: str) -> str:
     """DuckDB twin of :func:`extract_text` — same patterns in the same
     order; DuckDB needs explicit 'g' flags (Spark replaces all by

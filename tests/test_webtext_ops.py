@@ -887,3 +887,38 @@ def test_mixture_weights_flatten_source_skew(spark):
     by_tok = sorted(rows, key=lambda r: r.n_tokens)
     for a, b in zip(by_tok, by_tok[1:]):
         assert a.mix_weight_t2 <= b.mix_weight_t2 + 1e-9
+
+
+def test_link_count_and_noindex_signals(spark):
+    """count_links / has_noindex: anchors need an href (bare <a name=..>
+    is not a link), whitespace between '<a' and href is tolerated,
+    noindex matches only inside a meta tag, and the DuckDB twins are
+    value-identical."""
+    import duckdb
+
+    from incident_pii_redactor_spark.functions.html import (
+        count_links, count_links_sql, has_noindex, has_noindex_sql)
+
+    pages = [
+        ('<a href="/x">x</a><A HREF="/y">y</A>', 2, False),
+        ('<a\thref="/x">x</a><a name="anchor">no link</a>', 1, False),
+        ('<meta name="robots" content="NOINDEX,nofollow"><a href=/>h</a>',
+         1, True),
+        ("plain text, noindex as a word, no tags", 0, False),
+        ('<meta charset="utf-8">', 0, False),
+        ("", 0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p.encode())) for i, (p, _, _) in enumerate(pages)],
+        "id long, html binary")
+    got = {r.id: r for r in df.select(
+        "id", count_links("html").alias("n"),
+        has_noindex("html").alias("x")).collect()}
+    for i, (page, want_n, want_x) in enumerate(pages):
+        assert got[i].n == want_n, (i, page)
+        assert got[i].x is want_x, (i, page)
+        row = duckdb.sql(
+            f"SELECT {count_links_sql('h')} AS n, {has_noindex_sql('h')} "
+            f"AS x FROM (SELECT ?::BLOB AS h)", params=[page.encode()],
+        ).fetchone()
+        assert (row[0], row[1]) == (want_n, want_x), (i, page)
