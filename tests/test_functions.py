@@ -897,3 +897,43 @@ def test_mp4_corrupt_variants_fall_back():
                     + struct.pack(">II", 1 << 31, 100) + bytes(80))
     assert _decode_mp4_meta(
         _box(b"ftyp", b"isom") + _box(b"moov", mvhd_big)) is None
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """pagerank equals a plain-python power iteration with the same
+    dangling-mass redistribution (to float tolerance — summation order
+    differs), conserves total mass, and ranks the authority hub highest
+    on a star-into-hub graph."""
+    import math
+
+    from incident_pii_redactor_spark.functions.graph import pagerank
+
+    #    1,2,3 -> 0 (hub);  0 -> 4;  4 dangles;  5 -> 5 self-loop;
+    #    duplicate edge 2 -> 0 counts twice in 2's out-degree
+    raw = [(1, 0), (2, 0), (2, 0), (3, 0), (0, 4), (5, 5)]
+    d, iters = 0.85, 10
+
+    nodes = sorted({v for ab in raw for v in ab})
+    n = len(nodes)
+    out = {}
+    for a, _ in raw:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        mass = {v: 0.0 for v in nodes}
+        for a, b in raw:
+            mass[b] += rank[a] / out[a]
+        dangle = sum(rank[v] for v in nodes if v not in out)
+        rank = {v: (1 - d) / n + d * (mass[v] + dangle / n)
+                for v in nodes}
+
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.node: r.rank
+           for r in pagerank(edges, damping=d, n_iter=iters).collect()}
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert math.isclose(got[v], rank[v], rel_tol=1e-9), (v, got[v], rank[v])
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+    # the link-receiving hub outranks its leaf linkers; the self-loop
+    # node hoards mass and tops everything (classic PageRank artifact)
+    assert got[0] > got[1] and got[5] == max(got.values())
