@@ -75,8 +75,14 @@ def extract_text(html: str | Column = "html") -> Column:
 # outlinks (boilerplate/link-farm indicator, PageRank-ish host signals)
 # and honor <meta name=robots content=noindex> before keeping a page.
 # RE2-safe, shared verbatim with the DuckDB twins below.
-_LINK_RE = "(?i)<a[ \\t][^>]*href"
-_NOINDEX_RE = "(?i)<meta[^>]*noindex"
+# - href must be its OWN attribute (whitespace-preceded, '='-followed):
+#   'data-href=' never counts; newlines between attributes do (review
+#   round 4 — pretty-printed pages wrap attributes).
+# - noindex must co-occur with 'robots' inside ONE meta tag: a
+#   description meta that merely MENTIONS noindex is not a directive.
+_LINK_RE = "(?i)<a[ \\t\\r\\n](?:[^>]*[ \\t\\r\\n])?href[ \\t\\r\\n]*="
+_NOINDEX_RE = ("(?i)<meta(?:[^>]*robots[^>]*noindex"
+               "|[^>]*noindex[^>]*robots)[^>]*>")
 
 
 def count_links(html: str | Column = "html") -> Column:

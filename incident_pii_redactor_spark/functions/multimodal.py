@@ -256,12 +256,19 @@ def _decode_png_pixels(blob: bytes):
     if need > _PNG_PIXEL_CAP:
         return None
     try:
-        raw = np.frombuffer(
-            zlib.decompress(bytes(idat), bufsize=need), dtype=np.uint8)
+        # bounded inflate: cap output at need+1 BYTES DURING
+        # decompression — a zip bomb (tiny declared dims, high-ratio
+        # IDAT) is rejected after inflating at most one excess byte,
+        # never after materializing the full bomb (review round 4: the
+        # old zlib.decompress(bufsize=) path inflated a 200 KB blob to
+        # 459 MB before the size check)
+        dec = zlib.decompressobj()
+        buf = dec.decompress(bytes(idat), need + 1)
     except zlib.error:
         return None
-    if raw.size != need:
-        return None  # wrong scanline volume: corrupt
+    if len(buf) != need or dec.decompress(b"", 1):
+        return None  # over- or under-sized scanline volume: corrupt/bomb
+    raw = np.frombuffer(buf, dtype=np.uint8)
     try:
         samples = _png_unfilter(raw, h, w, nb)
     except ValueError:

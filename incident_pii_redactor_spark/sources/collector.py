@@ -190,6 +190,12 @@ class CollectionOrchestrator:
         output_dir: str,
         now: Callable[[], datetime] = lambda: _EPOCH,
     ) -> None:
+        if "all" in collectors:
+            # 'all_incidents.jsonl' is the merged-output path; a platform
+            # named 'all' would write the same file and its rows would be
+            # silently truncated by the merge (review round 4)
+            raise ValueError("platform name 'all' is reserved for the "
+                             "merged output")
         self.collectors = dict(collectors)
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)

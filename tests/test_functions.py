@@ -680,6 +680,20 @@ def test_png_pixel_decode_all_filters_and_color_types():
     # palette index out of range
     assert _decode_png_pixels(
         _make_png(np.full((2, 2), 9, np.uint8), ctype=3, plte=pal)) is None
+    # zip bomb: declared 2x2 gray, but the IDAT inflates to 10 MB —
+    # must be rejected WITHOUT materializing the inflated stream
+    # (bounded decompressobj path, review round 4)
+    small = _make_png(np.zeros((2, 2), np.uint8), ctype=0)
+    import struct as _struct
+    import zlib
+
+    def _chunk(typ, payload):
+        return (_struct.pack(">I", len(payload)) + typ + payload
+                + _struct.pack(">I", zlib.crc32(typ + payload)))
+
+    bomb_idat = _chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20)))
+    head = small[: small.index(b"IDAT") - 4]
+    assert _decode_png_pixels(head + bomb_idat + _chunk(b"IEND", b"")) is None
 
 
 def test_png_pixel_feature_responds_to_pixels(spark):

@@ -907,6 +907,14 @@ def test_link_count_and_noindex_signals(spark):
         ("plain text, noindex as a word, no tags", 0, False),
         ('<meta charset="utf-8">', 0, False),
         ("", 0, False),
+        # review round 4: wrapped attributes are links; attribute-name
+        # lookalikes are not; content order in the robots meta is free;
+        # a meta that merely MENTIONS noindex is no directive
+        ('<a\nclass="x"\nhref="/wrapped">w</a>', 1, False),
+        ('<a data-href="/x" class=y>not a link</a>', 0, False),
+        ('<meta content="noindex" name="robots">', 0, True),
+        ('<meta name="description" content="about the noindex tag">',
+         0, False),
     ]
     df = spark.createDataFrame(
         [(i, bytearray(p.encode())) for i, (p, _, _) in enumerate(pages)],
