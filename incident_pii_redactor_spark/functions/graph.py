@@ -47,14 +47,19 @@ def connected_components(
         star algorithm instead of raising."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # a caller-raised budget applies to the star phase too (review
+    # round 4: it was silently dropped); the 40-round safety net stays
+    # a FLOOR because star needs O(log^2 n) rounds even on graphs where
+    # label propagation's small default would have sufficed
+    star_iter = max(max_iter, 40)
     if algorithm == "star":
-        return connected_components_star(edges, src, dst)
+        return connected_components_star(edges, src, dst, star_iter)
     try:
         return _connected_components_label(edges, src, dst, max_iter)
     except RuntimeError:
         if algorithm == "label":
             raise
-        return connected_components_star(edges, src, dst)
+        return connected_components_star(edges, src, dst, star_iter)
 
 
 def _connected_components_label(
@@ -234,7 +239,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # materialize once: every iteration joins against outdeg, and the
+    # per-round eager checkpoints would otherwise re-run this full-edge
+    # aggregation n_iter times (review round 4)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")) \
+              .localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         with_deg = ranks.join(

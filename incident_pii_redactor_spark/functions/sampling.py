@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+def sample_threshold(fraction: float) -> int:
+    """The bucket cutoff for ``fraction`` — THE single conversion from
+    a sampling rate to a bucket count (round, not truncate:
+    int(0.29 * 1e6) == 289999 under binary floats). Every membership
+    predicate — Spark or oracle SQL — must derive its literal here so
+    the rate policy cannot silently fork (review round 4)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return round(fraction * _BUCKETS)
+
+
 def sample_hash(key: str | Column, seed: int = 42) -> Column:
     """Stable per-row bucket in [0, 1e6): md5(key || seed) -> 60-bit int
     -> mod 1e6 (the shared ``functions.dedup.md5_int`` recipe). DuckDB
@@ -36,11 +47,7 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep each row iff its hash bucket < fraction * 1e6 — an exact-rate
     Bernoulli sample that is a pure function of (key, seed)."""
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    # round, not truncate: int(0.29 * 1e6) == 289999 under binary floats,
-    # one bucket below the natural literal a hand-written oracle would use
-    return df.filter(sample_hash(key_col, seed) < round(fraction * _BUCKETS))
+    return df.filter(sample_hash(key_col, seed) < sample_threshold(fraction))
 
 
 def stratified_deterministic_sample(
@@ -54,7 +61,7 @@ def stratified_deterministic_sample(
     cond = F.lit(False)
     for stratum, frac in sorted(fractions.items()):
         cond = cond | (
-            (F.col(strata_col) == stratum) & (bucket < round(frac * _BUCKETS))
+            (F.col(strata_col) == stratum) & (bucket < sample_threshold(frac))
         )
     return df.filter(cond)
 
