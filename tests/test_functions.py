@@ -837,6 +837,19 @@ def test_connected_components_chains_and_isolates(spark):
                 for r in connected_components(edges, max_iter=1).collect()}
     assert got_auto == got
 
+    # review round 4: a caller-raised budget reaches the star phase
+    # (it was silently dropped before) — but never SHRINKS it below
+    # the 40-round safety net: max_iter=1 + algorithm='star' must
+    # still converge, and a raised budget must not change the answer
+    got_star = {r.node: r.comp
+                for r in connected_components(
+                    edges, max_iter=1, algorithm="star").collect()}
+    assert got_star == got
+    got_star_big = {r.node: r.comp
+                    for r in connected_components(
+                        edges, max_iter=200, algorithm="star").collect()}
+    assert got_star_big == got
+
 
 def test_connected_components_star_path_graph_logn_rounds(spark):
     """Large-star/small-star (Kiveris et al. 2014) on a 50-edge path
