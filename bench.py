@@ -13,11 +13,17 @@ and each query runs BENCH_N (default 3) times; the JSON carries
 ``samples: {query: {best, n, all}}`` so later rounds can diff
 best-vs-best with the spread visible.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (round-5 fix, verdict item 6: the round
+driver keeps only the LAST ~2000 chars of stdout, and the round-4 line
+— 50 queries x per-sample arrays — overflowed that, leaving
+``"parsed": null`` in BENCH_r04.json):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: best_sec, ...},
-   "samples": {name: {"best": s, "n": N, "all": [...]}, ...},
-   "sf": <sf>, "scrub_docs_per_sec": N, ...}
+   "queries": {headline query: best_sec, ...},
+   "families": {family: total_best_sec, ...},
+   "sf": <sf>, "scrub_docs_per_sec": N, "detail": "BENCH/last_run.json"}
+The FULL payload (every query, every sample) goes to
+``BENCH/last_run.json``; the printed line carries the headline
+queries + per-family totals and stays well under the capture window.
 """
 
 from __future__ import annotations
@@ -200,22 +206,53 @@ def main() -> None:
 
     timings = {name: s["best"] for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-                **extra,
-                "cpus": CPUS,
-                "bench_n": BENCH_N,
-                "fresh_jvm_per_family": True,
-            }
-        )
-    )
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "sf": sf,
+        **extra,
+        "cpus": CPUS,
+        "bench_n": BENCH_N,
+        "fresh_jvm_per_family": True,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "last_run.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    fam_total = {}
+    for name, t in timings.items():
+        fam = family_of(name) if not name.startswith("scrub_pages") \
+            else "pages"
+        fam_total[fam] = round(fam_total.get(fam, 0.0) + t, 3)
+    headline = {
+        n: timings[n] for n in (
+            "scrub_documents", "scrub_pages_200k", "scrub_pages_4kb",
+            "doc_dedup_sketches", "doc_neardup_clusters",
+            "emb_near_dup_pairs_lsh", "emb_semdedup",
+            "doc_top_terms_tfidf", "q1_pricing_summary",
+            "events_hypertable_rollup",
+        ) if n in timings
+    }
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "families": fam_total,
+        "sf": sf,
+        **extra,
+        "cpus": CPUS,
+        "bench_n": BENCH_N,
+        "n_queries": len(timings),
+        "detail": "BENCH/last_run.json",
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -15,9 +15,20 @@ Scale design:
   would otherwise be deleted ~15% of the time; --no-verify-jaccard
   restores the unverified path and documents that rate) -> per-pair
   min-url-wins drop set. Verification runs on candidates only, never
-  the corpus. The drop set is tiny relative to the corpus (it is the
-  duplicates), so the final filter is a broadcast LEFT ANTI join — the
-  corpus never shuffles.
+  the corpus. The final filter is a plain LEFT ANTI join on the
+  uniform url key — NOT a forced broadcast: at web scale the near-dup
+  fraction runs 20-40% of the corpus, so the drop list is unbounded
+  (round-4 verdict: force-broadcasting it OOMs the driver at 10^12
+  docs). AQE still picks a broadcast at runtime whenever the list
+  measures small, so small jobs lose nothing.
+* per-stage row counts (the job's lineage metrics) persist each
+  stage's output before counting and release the previous stage's
+  cache once the next is materialized, so every stage's lineage
+  executes exactly ONCE (count) + is then served from cache (next
+  stage + final write). Round-4 verdict: counting without persisting
+  replayed the full corpus scan ~6x with all stages enabled.
+  --no-stage-counts drops the counts AND the caches entirely for
+  production runs where the manifest/output row count is enough.
 * min-url-wins per pair is one union-by-min step, not full connected
   components: for a chain A-B-C it keeps A and drops B and C, which is
   the standard first-order near-dup policy (full CC costs an iterative
@@ -101,14 +112,86 @@ def parse_args(argv=None):
                         "documents rewritten; fully-duplicated documents "
                         "drop. Runs after the doc-level modes, so the "
                         "surviving corpus defines first-occurrence order")
+    p.add_argument("--no-stage-counts", action="store_true",
+                   help="skip per-stage row counts (and their persist "
+                        "caches): stats carries rows_out only, each "
+                        "stage's lineage pipelines straight into the "
+                        "final write with zero extra actions — the "
+                        "production setting at 10^12 docs")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
+
+
+class _StageCounter:
+    """Persist -> count -> release-previous per stage so lineage never
+    replays: the count materializes the new stage's cache, the next
+    stage (or the final write) reads FROM that cache, and only then is
+    the previous stage's cache dropped. Disabled = identity."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self._prev = None
+
+    def checkpoint(self, df, stats: dict, key: str):
+        if not self.enabled:
+            return df
+        df = df.persist()
+        stats[key] = df.count()
+        if self._prev is not None:
+            self._prev.unpersist()
+        self._prev = df
+        return df
+
+    def release(self):
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+
+
+def near_dedup(df, args):
+    """MinHash/LSH near-dup removal: candidate pairs -> (optional)
+    Jaccard verification -> drop set -> LEFT ANTI filter. The anti join
+    carries NO broadcast hint: the drop list is unbounded (20-40% of a
+    web corpus is near-dup — round-4 verdict: forcing a broadcast OOMs
+    at 10^12 docs), the url key is uniform so a sort-merge anti is
+    skew-free, and AQE still broadcasts when the list measures small.
+    ``tests/test_resume.py::test_dedup_drop_list_is_not_force_broadcast``
+    pins the hint's absence."""
+    pairs = minhash_lsh_pairs(
+        df, id_col="url", text_col="text",
+        n=args.shingle_words, n_perm=args.n_perm, bands=args.bands,
+    )
+    if not args.no_verify_jaccard:
+        # exact verification on candidates only — kills banding FPs
+        pairs = jaccard_on_pairs(
+            pairs, df, id_col="url", text_col="text",
+            n=args.shingle_words,
+        ).filter(F.col("jaccard") >= args.jaccard_threshold)
+    if args.exact_clusters:
+        # exact cluster policy: one keeper per connected component (a
+        # chain A-B-C keeps only A even though A-C was never itself a
+        # confirmed pair)
+        from incident_pii_redactor_spark.functions.graph import (
+            cluster_keepers,
+        )
+
+        drops = (
+            cluster_keepers(pairs, max_iter=args.cc_max_iter,
+                            algorithm=args.cc_algorithm)
+            .filter(F.col("node") != F.col("keeper"))
+            .select(F.col("node").alias("url"))
+        )
+    else:
+        # min-url-wins: the larger url of every confirmed pair drops
+        drops = pairs.select(F.col("id_b").alias("url")).distinct()
+    return df.join(drops, on="url", how="left_anti")
 
 
 def run(args, spark=None) -> dict:
     owns = spark is None
     if owns:
         spark = build_session("pages-dedup", master=args.master)
+    ctr = _StageCounter(enabled=not args.no_stage_counts)
     try:
         df = read_pages(spark, args.input)
         if args.from_html:
@@ -123,7 +206,8 @@ def run(args, spark=None) -> dict:
             )
 
             df = with_clean_text(df)
-        stats = {"rows_in": df.count()}
+        stats: dict = {}
+        df = ctr.checkpoint(df, stats, "rows_in")
 
         if args.against:
             # Incremental snapshot ingestion: anti-join the NEW
@@ -160,7 +244,7 @@ def run(args, spark=None) -> dict:
                     .distinct())
             df = (df.withColumn("_h", content_hash("text"))
                   .join(hist, "_h", "left_anti").drop("_h"))
-            stats["rows_after_against"] = df.count()
+            df = ctr.checkpoint(df, stats, "rows_after_against")
 
         if args.url_canonical:
             # latest-wins per canonical URL: one hash-aggregate carrying
@@ -181,7 +265,7 @@ def run(args, spark=None) -> dict:
             )
             df = (keyed.join(keep, ["url", "warc_ts"], "left_semi")
                   .drop("_cu"))
-            stats["rows_after_url_canonical"] = df.count()
+            df = ctr.checkpoint(df, stats, "rows_after_url_canonical")
 
         if args.mode in ("exact", "both"):
             keepers = (
@@ -191,39 +275,11 @@ def run(args, spark=None) -> dict:
                 .select("url")
             )
             df = df.join(keepers, on="url", how="left_semi")
-            stats["rows_after_exact"] = df.count()
+            df = ctr.checkpoint(df, stats, "rows_after_exact")
 
         if args.mode in ("near", "both"):
-            pairs = minhash_lsh_pairs(
-                df, id_col="url", text_col="text",
-                n=args.shingle_words, n_perm=args.n_perm, bands=args.bands,
-            )
-            if not args.no_verify_jaccard:
-                # exact verification on candidates only — kills banding FPs
-                pairs = jaccard_on_pairs(
-                    pairs, df, id_col="url", text_col="text",
-                    n=args.shingle_words,
-                ).filter(F.col("jaccard") >= args.jaccard_threshold)
-            if args.exact_clusters:
-                # exact cluster policy: one keeper per connected
-                # component (a chain A-B-C keeps only A even though A-C
-                # was never itself a confirmed pair)
-                from incident_pii_redactor_spark.functions.graph import (
-                    cluster_keepers,
-                )
-
-                drops = (
-                    cluster_keepers(pairs, max_iter=args.cc_max_iter,
-                                    algorithm=args.cc_algorithm)
-                    .filter(F.col("node") != F.col("keeper"))
-                    .select(F.col("node").alias("url"))
-                )
-            else:
-                # min-url-wins: the larger url of every confirmed pair
-                # drops
-                drops = pairs.select(F.col("id_b").alias("url")).distinct()
-            df = df.join(F.broadcast(drops), on="url", how="left_anti")
-            stats["rows_after_near"] = df.count()
+            df = near_dedup(df, args)
+            df = ctr.checkpoint(df, stats, "rows_after_near")
 
         if args.paragraph:
             from incident_pii_redactor_spark.functions.dedup import (
@@ -248,12 +304,13 @@ def run(args, spark=None) -> dict:
                 .select("_pid", F.col("text_dedup").alias("text"))
             # inner join: docs with zero surviving paragraphs drop here
             df = keyed.drop("text").join(rewritten, on="_pid").drop("_pid")
-            stats["rows_after_paragraph"] = df.count()
+            df = ctr.checkpoint(df, stats, "rows_after_paragraph")
 
         df.write.mode("overwrite").parquet(args.output)
         stats["rows_out"] = spark.read.parquet(args.output).count()
         return stats
     finally:
+        ctr.release()
         if owns:
             spark.stop()
 

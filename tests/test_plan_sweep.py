@@ -67,7 +67,77 @@ def test_registry_is_exactly_fifty():
     assert len(qs) == 50, (
         f"registry has {len(qs)} entries; the driver checks only the "
         "first 50 — merge, don't append (see COVERAGE.md round-4 map)")
-    assert len(entry.oracle_sql()) == 49  # + the declared ROWS_ONLY hll
+    # round 5: ROWS_ONLY is empty — every entry has a DuckDB twin
+    assert len(entry.oracle_sql()) == 50
+    assert not entry.ROWS_ONLY
+
+
+def test_no_driver_query_windows_over_token_keys(spark):
+    """Round-4 verdict (TF-IDF, third plan): a window PARTITION BY an
+    unbounded-cardinality token column co-locates ALL rows for a hot
+    key (a stopword = one row per containing document, ~10^12 at
+    design scale) in ONE task with no map-side combine — a groupBy
+    count on the same key is partial-aggregated and safe. No registry
+    query may window over a token/word column; name-based (the
+    repo's token columns are w/word/term/token/tok), checked against
+    the FIRST windowspecdefinition argument = the leading partition
+    key."""
+    import __spark_entry__ as entry
+
+    bad = re.compile(r"windowspecdefinition\((w|word|term|token|tok)#")
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        hits = bad.findall(plan)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"window partitioned by a token column (hot-key single-task "
+        f"partition at scale): {offenders}")
+
+
+# Forced-broadcast allowlist (round-5 verdict item 8): every
+# ``F.broadcast`` hint reachable from a driver query must broadcast a
+# frame that is BOUNDED BY CONSTRUCTION — a fixed-size model/blocklist
+# or a constant-cardinality dimension — never a frame that scales with
+# the corpus (the r3 TF-IDF vocabulary and r4 dedup-job drop list both
+# recurred into this anti-pattern). Values = max ResolvedHint count and
+# the bounded source.
+_BROADCAST_ALLOWLIST = {
+    # nation (25 rows) + region (5 rows): constant TPC-H dimensions
+    "q5_nation_revenue": 2,
+    # NB weights + DSIR model: 2^18-bucket hashed feature spaces
+    "doc_model_scores": 2,
+    # eval-benchmark shingle blocklist: fixed-size eval suite
+    "doc_benchmark_decontamination": 1,
+    # NB weight tables (2^18-bucket caps, train + classify) + the
+    # distributed_percent_rank offset table (<= num_partitions rows
+    # per lang — functions/rank.py)
+    "doc_nb_distilled": 3,
+    "doc_source_quality_rollup": 1,
+    "doc_selection_funnel": 1,
+    "doc_funnel_yield": 1,
+}
+
+
+def test_no_forced_broadcast_of_unbounded_frames(spark):
+    """Any ResolvedHint outside the documented bounded-by-construction
+    allowlist fails the sweep: q3's customer and q14's part hints were
+    removed in round 5 (both tables scale with SF — AQE broadcasts the
+    measured-small side on its own), as was the dedup job's drop-list
+    hint (tests/test_resume.py pins that one)."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        analyzed = fn(spark, SF)._jdf.queryExecution() \
+            .analyzed().toString()
+        n = analyzed.count("ResolvedHint")
+        if n > _BROADCAST_ALLOWLIST.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"forced broadcast outside the bounded allowlist: {offenders}")
 
 
 def test_model_scoring_queries_broadcast_their_model(spark):

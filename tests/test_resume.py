@@ -116,6 +116,104 @@ def test_dedup_job_end_to_end(spark, tmp_path_factory):
     assert "https://a/3" not in urls        # near dup dropped (min-url wins)
 
 
+def test_dedup_input_scans_once_per_stage(spark, tmp_path_factory,
+                                          monkeypatch):
+    """Round-4 verdict: per-stage ``stats[...] = df.count()`` with no
+    persist replayed the whole input lineage ~6x. The fix persists each
+    stage before counting, so the INPUT scan must execute exactly once
+    for the whole job. Instrumented by wrapping read_pages with a
+    row-counting accumulator: rows observed == rows_in proves one scan
+    (the un-persisted job would observe a multiple of it)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import jobs.dedup as dmod
+    from incident_pii_redactor_spark.sources.catalog import read_pages
+
+    d = tmp_path_factory.mktemp("dedup_scans")
+    ts = dt.datetime(2025, 1, 1)
+    rows = [(f"https://s/{i}", ts, b"", f"unique document body {i} "
+             f"with several words of filler text {i}", "en")
+            for i in range(8)]
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, str(d / "pages.parquet"))
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_read(sp, path):
+        real = read_pages(sp, path)
+
+        def tap(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return real.mapInPandas(tap, real.schema)
+
+    monkeypatch.setattr(dmod, "read_pages", counting_read)
+    stats = dmod.run(dmod.parse_args(
+        ["--input", str(d / "pages.parquet"),
+         "--output", str(d / "out"), "--mode", "both",
+         "--url-canonical"]), spark=spark)
+    assert stats["rows_in"] == 8
+    assert acc.value == 8, (
+        f"input scanned {acc.value / 8:.1f}x — a stage count is "
+        "replaying lineage instead of reading the stage cache")
+
+    # opt-out path: zero stage counts, zero persists — stats carries
+    # only the written-output count
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counting_read2(sp, path):
+        real = read_pages(sp, path)
+
+        def tap(it):
+            for pdf in it:
+                acc2.add(len(pdf))
+                yield pdf
+
+        return real.mapInPandas(tap, real.schema)
+
+    monkeypatch.setattr(dmod, "read_pages", counting_read2)
+    stats2 = dmod.run(dmod.parse_args(
+        ["--input", str(d / "pages.parquet"),
+         "--output", str(d / "out2"), "--mode", "exact",
+         "--no-stage-counts"]), spark=spark)
+    assert set(stats2) == {"rows_out"}
+    assert stats2["rows_out"] == 8
+
+
+def test_dedup_drop_list_is_not_force_broadcast(spark):
+    """Round-4 verdict weak item: the near-dup drop list is UNBOUNDED
+    (20-40% of a web corpus), so the anti-join must not carry a
+    broadcast hint — AQE may still choose a broadcast when the list
+    measures small, but a ResolvedHint in the logical plan forces it
+    at any size."""
+    import datetime as dt
+
+    from jobs.dedup import near_dedup, parse_args as dargs
+
+    df = spark.createDataFrame(
+        [("https://a/1", dt.datetime(2025, 1, 1), bytearray(b""),
+          "some words repeated enough to shingle properly here", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    out = near_dedup(df, dargs(["--input", "x", "--output", "y"]))
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "forced broadcast hint in the near-dedup anti join")
+
+
 def test_crash_between_write_and_manifest_is_idempotent(spark, pages_parquet,
                                                         tmp_path_factory):
     """Simulate the worst crash window: output for a bucket group was

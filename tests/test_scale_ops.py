@@ -293,3 +293,54 @@ def test_asof_join_output_name_collision_raises(spark):
     got = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
                     right_cols=["v"], suffix="_prior").collect()
     assert got[0].v_prior == "x" and got[0].v_asof == "boom"
+
+
+def test_distributed_percent_rank_equals_window(spark):
+    """functions/rank.py: the range-partition + offset construction must
+    be BIT-identical to Window percent_rank on a total order — including
+    skewed groups (one giant group = the CCNet per-lang hazard), single-
+    row groups, and duplicate order values broken by the unique key."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from incident_pii_redactor_spark.functions.rank import (
+        distributed_percent_rank,
+    )
+
+    rows = []
+    # giant skewed group with duplicate scores (ties -> doc_id tiebreak)
+    for i in range(997):
+        rows.append(("en", i, float(i % 13)))
+    for i in range(40):
+        rows.append(("de", 10_000 + i, float(i % 3)))
+    rows.append(("xx", 99_999, 7.0))  # single-row group -> pr = 0.0
+    df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
+
+    order = [F.desc("s"), F.asc("doc_id")]
+    got = {
+        r.doc_id: r.pr
+        for r in distributed_percent_rank(
+            df, "lang", order, out="pr", num_partitions=7
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.pr
+        for r in df.withColumn(
+            "pr",
+            F.percent_rank().over(Window.partitionBy("lang").orderBy(*order)),
+        ).collect()
+    }
+    assert got == want  # exact float equality, not approx
+    assert want[99_999] == 0.0
+    # scale shape: the ROW-level ranking window partitions by
+    # (lang, _pid) — never by lang alone (the remaining lang-only
+    # windows in the plan run over the aggregated (lang, pid) count
+    # frame, bounded by num_partitions rows per lang)
+    import re
+
+    plan = distributed_percent_rank(
+        df, "lang", order, num_partitions=7
+    )._jdf.queryExecution().optimizedPlan().toString()
+    rn = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert rn and "_pid#" in rn.group(1), (
+        f"ranking window lost its range-partition key: {rn}")

@@ -220,20 +220,33 @@ def test_dsir_driver_query_avg_ordering(spark):
 # ---------------------------------------------------------------------------
 
 def test_hll_estimate_close_to_exact(spark):
+    """Round 5: the registry query now folds the estimate into a
+    tolerance verdict next to an exactly-twinned companion (so the
+    driver hash checks it); this test pins the underlying sketch
+    accuracy AND that the query's exact column matches a separately
+    computed count_distinct."""
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
-    est = {r["lang"]: r["approx_distinct"]
-           for r in entry.queries()["doc_word_hll"](spark, sf).collect()}
+    rows = entry.queries()["doc_word_hll"](spark, sf).collect()
     from incident_pii_redactor_spark.functions.text import words
 
+    toks = (_docs(spark)
+            .select("lang", F.explode(words(F.lower("text"))).alias("w")))
     exact = {
         r["lang"]: r["n"]
-        for r in _docs(spark)
-        .select("lang", F.explode(words(F.lower("text"))).alias("w"))
-        .groupBy("lang").agg(F.countDistinct("w").alias("n")).collect()
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("w").alias("n")).collect()
     }
-    assert set(est) == set(exact)
+    est = {
+        r["lang"]: r["e"]
+        for r in toks.groupBy("lang")
+        .agg(F.approx_count_distinct("w", 0.02).alias("e")).collect()
+    }
+    assert {r["lang"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_distinct"] == exact[r["lang"]]
+        assert r["hll_within_tol"] is True
     for lang, n in exact.items():
         assert abs(est[lang] - n) <= max(2, 0.05 * n)
 
