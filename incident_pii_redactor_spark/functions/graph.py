@@ -34,6 +34,14 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of the component.
 
+    ``max_iter`` budgets the label-propagation rounds exactly; for the
+    star phase (``algorithm="star"`` or the ``"auto"`` fallback) it is
+    CLAMPED to a 40-round floor — ADVICE round 4: this clamp is part
+    of the wrapper's contract, documented here so a deliberately tight
+    budget is not silently honored-then-raised differently between
+    entry points. Call :func:`connected_components_star` directly for
+    an unclamped star budget (it raises past it).
+
     ``algorithm``:
       * ``"label"`` — min-label propagation, O(diameter) rounds; raises
         if the fixed point is not reached within ``max_iter`` rounds

@@ -78,11 +78,18 @@ def extract_text(html: str | Column = "html") -> Column:
 # - href must be its OWN attribute (whitespace-preceded, '='-followed):
 #   'data-href=' never counts; newlines between attributes do (review
 #   round 4 — pretty-printed pages wrap attributes).
-# - noindex must co-occur with 'robots' inside ONE meta tag: a
-#   description meta that merely MENTIONS noindex is not a directive.
+# - noindex counts only inside a meta tag whose NAME attribute is
+#   robots (either attribute order), anchored as name\s*=\s*["']?robots
+#   — ADVICE round 4: the old co-occurrence pattern flagged
+#   <meta name="description" content="about robots and noindex"> and
+#   matched '<metadata' custom tags; '<meta' now requires a following
+#   whitespace character. A meta that merely MENTIONS both words in
+#   prose content still slips only if it ALSO carries name=robots —
+#   i.e. never for well-formed pages.
 _LINK_RE = "(?i)<a[ \\t\\r\\n](?:[^>]*[ \\t\\r\\n])?href[ \\t\\r\\n]*="
-_NOINDEX_RE = ("(?i)<meta(?:[^>]*robots[^>]*noindex"
-               "|[^>]*noindex[^>]*robots)[^>]*>")
+_NAME_ROBOTS = "name[ \\t\\r\\n]*=[ \\t\\r\\n]*[\"']?robots"
+_NOINDEX_RE = (f"(?i)<meta[ \\t\\r\\n](?:[^>]*{_NAME_ROBOTS}[^>]*noindex"
+               f"|[^>]*noindex[^>]*{_NAME_ROBOTS})[^>]*>")
 
 
 def count_links(html: str | Column = "html") -> Column:
@@ -106,8 +113,10 @@ def count_links_sql(expr: str) -> str:
 
 
 def has_noindex_sql(expr: str) -> str:
-    """DuckDB twin of :func:`has_noindex` (same pattern constant)."""
-    return f"regexp_matches(decode({expr}::BLOB), '{_NOINDEX_RE}')"
+    """DuckDB twin of :func:`has_noindex` (same pattern constant; the
+    quote class needs SQL-escaping for the string literal)."""
+    return (f"regexp_matches(decode({expr}::BLOB), "
+            f"'{_NOINDEX_RE.replace(chr(39), chr(39) * 2)}')")
 
 
 def extract_text_sql(expr: str) -> str:

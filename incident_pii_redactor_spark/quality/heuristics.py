@@ -114,16 +114,22 @@ def heuristic_signals(texts: pd.Series, tok=None) -> pd.DataFrame:
         same = doc_ids[:-1] == doc_ids[1:]
         if same.any():
             v = len(uniques) + 1
+            # explicit int64 on the key operands: doc_ids is np.arange
+            # (intp = int32 on Windows), and doc*v*v must not wrap
+            # before the _KEY_FUSE_LIMIT guard's int64 assumption
+            # (ADVICE round 4)
+            docs64 = doc_ids[:-1][same].astype(np.int64)
             if n * v * v < _KEY_FUSE_LIMIT:  # key fits int64: 1 pass
-                key = (doc_ids[:-1][same] * v
+                key = (docs64 * v
                        + codes[:-1][same]) * v + codes[1:][same]
                 kcodes, kuniq = pd.factorize(key)
                 owner = kuniq // (v * v)
             else:  # huge-vocab batch: compact bigrams first
-                bi = codes[:-1][same] * v + codes[1:][same]
+                bi = (codes[:-1][same].astype(np.int64) * v
+                      + codes[1:][same])
                 bi_codes, bi_uniq = pd.factorize(bi)
                 n_bi = len(bi_uniq)
-                key = doc_ids[:-1][same] * n_bi + bi_codes
+                key = docs64 * n_bi + bi_codes
                 kcodes, kuniq = pd.factorize(key)
                 owner = kuniq // n_bi
             cnts = np.bincount(kcodes)

@@ -243,10 +243,17 @@ class CollectionOrchestrator:
                         if not line.strip():
                             continue
                         row = json.loads(line)
-                        row["platform"] = r.platform
+                        # setdefault: never clobber a collector-provided
+                        # platform field (ADVICE round 4); the tag only
+                        # fills rows that don't carry their own
+                        row.setdefault("platform", r.platform)
                         json.dump(row, f)
                         f.write("\n")
                         n_merged += 1
+        if n_merged == 0:
+            # disk state must match the summary: merged_file="" means
+            # NO merged file on disk, not an empty one (ADVICE round 4)
+            merged.unlink(missing_ok=True)
         summary = CollectionSummary(
             total_platforms=len(results),
             successful_collections=sum(r.success for r in results),

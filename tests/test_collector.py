@@ -205,3 +205,38 @@ def test_orchestrator_unknown_platform_and_merge_feeds_s1(
            read_incidents_jsonl(spark, summary.merged_file)
            .selectExpr("id as incident_id").collect()}
     assert got == {"alpha-000", "alpha-001", "gamma-000"}
+
+
+def test_orchestrator_merge_preserves_platform_and_cleans_empty(tmp_path):
+    """ADVICE round 4: the merge tag must not clobber a
+    collector-provided 'platform' field, and a zero-row merge must not
+    leave an empty all_incidents.jsonl behind while reporting
+    merged_file=''."""
+    import json
+    import os
+
+    from incident_pii_redactor_spark.sources.collector import (
+        CollectionOrchestrator,
+    )
+
+    orch = CollectionOrchestrator(
+        {"alpha": lambda: [
+            {"id": "a-0", "platform": "upstream-system"},
+            {"id": "a-1"},
+        ]},
+        output_dir=str(tmp_path / "one"),
+    )
+    summary = orch.collect_from_all_platforms()
+    rows = {r["id"]: r for r in map(
+        json.loads, open(summary.merged_file))}
+    assert rows["a-0"]["platform"] == "upstream-system"  # preserved
+    assert rows["a-1"]["platform"] == "alpha"            # tagged
+
+    def boom():
+        raise RuntimeError("api down")
+
+    empty = CollectionOrchestrator(
+        {"alpha": boom}, output_dir=str(tmp_path / "none"))
+    summary = empty.collect_from_all_platforms()
+    assert summary.merged_file == ""
+    assert not os.path.exists(str(tmp_path / "none" / "all_incidents.jsonl"))

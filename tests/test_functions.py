@@ -582,22 +582,16 @@ def test_bmp_pixel_feature_responds_to_pixels(spark):
     assert len(got[2]) == 64 and not np.allclose(got[2], f_white)
 
 
-def _make_png(arr, ctype, filters=None, interlace=0, plte=None):
-    """Minimal PNG writer (test-only): applies the REQUESTED filter type
-    per row (computing real residuals), zlib-compresses, real CRCs."""
-    import struct
-    import zlib
-
+def _filter_png_rows(px, nb, filters):
+    """Apply the requested PNG filter per row of a (rows, stride) int32
+    pixel matrix (computing real residuals); prev starts at zero — each
+    Adam7 pass restarts its filter chain."""
     import numpy as np
 
-    h, w = arr.shape[:2]
-    nb = 1 if arr.ndim == 2 else arr.shape[2]
-    px = arr.reshape(h, w * nb).astype(np.int32)
-    filters = filters or [0] * h
     raw = bytearray()
-    prev = np.zeros(w * nb, dtype=np.int32)
-    for y in range(h):
-        f = filters[y]
+    prev = np.zeros(px.shape[1], dtype=np.int32)
+    for y in range(px.shape[0]):
+        f = filters[y % len(filters)]
         cur = px[y]
         left = np.zeros_like(cur)
         left[nb:] = cur[:-nb]
@@ -620,6 +614,37 @@ def _make_png(arr, ctype, filters=None, interlace=0, plte=None):
             res = cur - pred
         raw += bytes([f]) + (res & 0xFF).astype(np.uint8).tobytes()
         prev = cur
+    return raw
+
+
+def _make_png(arr, ctype, filters=None, interlace=0, plte=None):
+    """Minimal PNG writer (test-only): applies the REQUESTED filter type
+    per row (computing real residuals), zlib-compresses, real CRCs.
+    interlace=1 writes a REAL Adam7 pass stream (each pass filtered
+    independently, empty passes omitted, spec §8.2)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _ADAM7, _adam7_pass_dims,
+    )
+
+    h, w = arr.shape[:2]
+    nb = 1 if arr.ndim == 2 else arr.shape[2]
+    px3 = arr.reshape(h, w, nb).astype(np.int32)
+    filters = filters or [0]
+    if interlace:
+        raw = bytearray()
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+                _ADAM7, _adam7_pass_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            sub = px3[y0::dy, x0::dx].reshape(ph, pw * nb)
+            raw += _filter_png_rows(sub, nb, filters)
+    else:
+        raw = _filter_png_rows(px3.reshape(h, w * nb), nb, filters)
 
     def chunk(typ, payload):
         return (struct.pack(">I", len(payload)) + typ + payload
@@ -673,7 +698,6 @@ def test_png_pixel_decode_all_filters_and_color_types():
         luma_p, np.where(idx == 0, 0.299 * 255, 0.114 * 255), atol=1e-3)
 
     # refusals -> None (fallback), never an exception
-    assert _decode_png_pixels(_make_png(gray, ctype=0, interlace=1)) is None
     assert _decode_png_pixels(png[:40]) is None           # truncated
     bad_idat = png.replace(b"IDAT", b"IDAX")              # no pixel data
     assert _decode_png_pixels(bad_idat) is None
@@ -694,6 +718,82 @@ def test_png_pixel_decode_all_filters_and_color_types():
     bomb_idat = _chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20)))
     head = small[: small.index(b"IDAT") - 4]
     assert _decode_png_pixels(head + bomb_idat + _chunk(b"IEND", b"")) is None
+
+
+def test_png_adam7_interlaced_decode(spark):
+    """VERDICT round-4 item 7: Adam7 progressive PNGs decode for real —
+    the deinterlaced luma must equal the straight-scan decode of the
+    same pixels, respond to pixel edits, and keep the zip-bomb bound;
+    ADVICE round-4: adversarial all-Paeth streams past the sequential
+    budget fall back instead of burning CPU."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _PNG_SEQ_BYTE_BUDGET,
+        _decode_png_pixels,
+        _luma_grid_feature,
+        image_feature_udf,
+    )
+
+    rng = np.random.RandomState(11)
+    # dims that exercise partial/empty passes (not multiples of 8)
+    rgb = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    want = _decode_png_pixels(_make_png(rgb, ctype=2))
+    for filters in ([0], [0, 1, 2, 3, 4]):
+        got = _decode_png_pixels(
+            _make_png(rgb, ctype=2, interlace=1, filters=filters))
+        np.testing.assert_array_equal(got, want)
+    # tiny images where most passes are empty
+    one = np.array([[7]], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        _decode_png_pixels(_make_png(one, ctype=0, interlace=1)),
+        np.array([[7.0]], dtype=np.float32))
+    gray2 = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        _decode_png_pixels(_make_png(gray2, ctype=0, interlace=1)),
+        gray2.astype(np.float32))
+
+    # a pixel edit lands in the right grid cell through the Spark UDF
+    dot_arr = np.full((16, 16, 3), 255, np.uint8)
+    dot_arr[0, 0] = 0
+    dot = _make_png(dot_arr, ctype=2, interlace=1, filters=[4])
+    f_dot = _luma_grid_feature(_decode_png_pixels(dot), 64).reshape(8, 8)
+    assert f_dot[0, 0] < 0.9 and np.allclose(f_dot.ravel()[1:], 1.0,
+                                             atol=0.01)
+    df = spark.createDataFrame([(1, bytearray(dot))],
+                               "id long, blob binary")
+    got_udf = np.array(
+        df.select(image_feature_udf(64)("blob").alias("f"))
+        .head()["f"], dtype=np.float32)
+    np.testing.assert_allclose(got_udf, f_dot.ravel(), rtol=1e-6)
+
+    # zip bomb with an interlaced header is still rejected mid-inflate
+    small = _make_png(np.zeros((2, 2), np.uint8), ctype=0, interlace=1)
+
+    def _chunk(typ, payload):
+        return (_struct.pack(">I", len(payload)) + typ + payload
+                + _struct.pack(">I", zlib.crc32(typ + payload)))
+
+    head = small[: small.index(b"IDAT") - 4]
+    bomb = _chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20)))
+    assert _decode_png_pixels(head + bomb + _chunk(b"IEND", b"")) is None
+
+    # adversarial filter budget: an all-Paeth image whose sequential
+    # bytes exceed the budget returns None (fake fallback), while the
+    # same image under vectorized filters decodes fine
+    side = int((_PNG_SEQ_BYTE_BUDGET * 1.2) ** 0.5) + 1
+    big = np.zeros((side, side), dtype=np.uint8)
+    assert side * side > _PNG_SEQ_BYTE_BUDGET
+    assert _decode_png_pixels(_make_png(big, ctype=0, filters=[4])) is None
+    assert _decode_png_pixels(
+        _make_png(big, ctype=0, filters=[2])) is not None
+    # oversized frames skip the real path outright (>16 MP)
+    huge_hdr = bytearray(_make_png(np.zeros((8, 8), np.uint8), ctype=0))
+    _struct.pack_into(">II", huge_hdr, 16, 5000, 5000)  # claim 25 MP
+    assert _decode_png_pixels(bytes(huge_hdr)) is None
 
 
 def test_png_pixel_feature_responds_to_pixels(spark):

@@ -928,6 +928,14 @@ def test_link_count_and_noindex_signals(spark):
         ('<meta content="noindex" name="robots">', 0, True),
         ('<meta name="description" content="about the noindex tag">',
          0, False),
+        # ADVICE round 4: a description meta mentioning BOTH words is
+        # not a directive; '<metadata' custom tags are not '<meta';
+        # unquoted and wrapped name=robots still are
+        ('<meta name="description" content="about robots and noindex">',
+         0, False),
+        ('<metadata name="robots" content="noindex">', 0, False),
+        ("<meta name=robots content=noindex>", 0, True),
+        ('<meta\nname = "robots"\ncontent="noindex">', 0, True),
     ]
     df = spark.createDataFrame(
         [(i, bytearray(p.encode())) for i, (p, _, _) in enumerate(pages)],
