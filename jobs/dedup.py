@@ -62,6 +62,16 @@ def parse_args(argv=None):
                         "BEFORE intra-snapshot dedup — incremental "
                         "ingestion of a new crawl snapshot against the "
                         "historical corpus")
+    p.add_argument("--against-bloom", action="store_true",
+                   help="bloom semijoin pushdown for --against: build a "
+                        "Bloom filter over the NEW snapshot's hashes "
+                        "(the small side), broadcast it, and map-side "
+                        "prune the HISTORY scan before the exact "
+                        "anti-join — the history never shuffles in "
+                        "full. Results are EXACTLY the plain path's "
+                        "(bloom FPs only add rows to the exact join); "
+                        "see functions/bloom.py")
+    p.add_argument("--against-bloom-fpp", type=float, default=0.01)
     p.add_argument("--shingle-words", type=int, default=3)
     p.add_argument("--n-perm", type=int, default=8)
     p.add_argument("--bands", type=int, default=4)
@@ -240,10 +250,27 @@ def run(args, spark=None) -> dict:
                 )
 
                 hist = with_clean_text(hist)
-            hist = (hist.select(content_hash("text").alias("_h"))
-                    .distinct())
-            df = (df.withColumn("_h", content_hash("text"))
-                  .join(hist, "_h", "left_anti").drop("_h"))
+            hist = hist.select(content_hash("text").alias("_h"))
+            df = df.withColumn("_h", content_hash("text"))
+            if args.against_bloom:
+                # semijoin pushdown (functions/bloom.py): bloom the NEW
+                # snapshot (the small side), broadcast, prune history
+                # map-side — only |snapshot ∩ history| + fpp·|history|
+                # rows reach the exact anti-join below, so the history
+                # never shuffles in full. Exactness unchanged: bloom
+                # FPs add rows to the exact join, never drop matches.
+                from incident_pii_redactor_spark.functions.bloom import (
+                    build_bloom, filter_might_contain,
+                )
+
+                n_new = stats.get("rows_in") or df.count()
+                bloom, k, m = build_bloom(
+                    df, "_h", expected_keys=max(n_new, 1),
+                    fpp=args.against_bloom_fpp)
+                stats["against_bloom_bytes"] = m // 8
+                hist = filter_might_contain(hist, "_h", bloom, k, m)
+            hist = hist.distinct()
+            df = df.join(hist, "_h", "left_anti").drop("_h")
             df = ctr.checkpoint(df, stats, "rows_after_against")
 
         if args.url_canonical:

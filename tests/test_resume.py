@@ -778,3 +778,89 @@ def test_dedup_job_against_history_respects_clean_unicode(
     assert stats["rows_after_against"] == 1  # n/1 == normalized h/1
     urls = {r.url for r in spark.read.parquet(str(d / "out")).collect()}
     assert urls == {"https://n/2"}
+
+
+def test_dedup_against_bloom_matches_plain(spark, tmp_path_factory):
+    """functions/bloom.py semijoin pushdown: --against-bloom must
+    produce EXACTLY the plain --against output (false positives only
+    add rows to the exact anti-join; false negatives are impossible),
+    while the history side is pruned map-side before its shuffle."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dargs, run as drun
+
+    d = tmp_path_factory.mktemp("against_bloom")
+    ts = dt.datetime(2025, 1, 1)
+
+    def mk(rows, path):
+        pq.write_table(pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                        "lang"]),
+            schema=pa.schema([("url", pa.string()),
+                              ("warc_ts", pa.timestamp("us")),
+                              ("html", pa.binary()), ("text", pa.string()),
+                              ("lang", pa.string())]),
+            preserve_index=False), path)
+
+    # history: 300 docs; new snapshot: 40 docs, 15 of them re-crawls
+    hist = [(f"https://h/{i}", ts, b"", f"historical page body {i} "
+             f"with plenty of words {i}", "en") for i in range(300)]
+    new = ([(f"https://n/{i}", ts, b"", f"historical page body {i} "
+             f"with plenty of words {i}", "en") for i in range(15)]
+           + [(f"https://n/{i}", ts, b"", f"fresh page body {i} "
+               f"never seen before {i}", "en") for i in range(15, 40)])
+    mk(hist, str(d / "history.parquet"))
+    mk(new, str(d / "new.parquet"))
+
+    base = ["--input", str(d / "new.parquet"),
+            "--against", str(d / "history.parquet"), "--mode", "exact"]
+    plain = drun(dargs(base + ["--output", str(d / "out_plain")]),
+                 spark=spark)
+    bloomed = drun(dargs(base + ["--output", str(d / "out_bloom"),
+                                 "--against-bloom"]), spark=spark)
+    assert plain["rows_after_against"] == 25
+    assert bloomed["rows_after_against"] == 25
+    assert bloomed["against_bloom_bytes"] > 0
+    a = sorted(r.url for r in
+               spark.read.parquet(str(d / "out_plain")).collect())
+    b = sorted(r.url for r in
+               spark.read.parquet(str(d / "out_bloom")).collect())
+    assert a == b and len(a) == 25
+
+
+def test_bloom_filter_properties(spark):
+    """No false negatives ever; measured FP rate within ~3x the target;
+    oversized blooms refuse to broadcast; deterministic across builds."""
+    import pytest
+
+    from incident_pii_redactor_spark.functions.bloom import (
+        bloom_params, build_bloom, filter_might_contain,
+    )
+    import pyspark.sql.functions as F
+
+    inserted = spark.range(2000).select(
+        F.md5(F.concat(F.lit("in-"), F.col("id"))).alias("h"))
+    bloom, k, m = build_bloom(inserted, "h", expected_keys=2000, fpp=0.01)
+    bloom2, k2, m2 = build_bloom(inserted.repartition(7), "h",
+                                 expected_keys=2000, fpp=0.01)
+    assert (bloom, k, m) == (bloom2, k2, m2)  # partition-invariant bits
+
+    # every inserted key passes (false negatives impossible)
+    kept = filter_might_contain(inserted, "h", bloom, k, m).count()
+    assert kept == 2000
+
+    # disjoint keys: FP rate near the target
+    other = spark.range(10_000).select(
+        F.md5(F.concat(F.lit("out-"), F.col("id"))).alias("h"))
+    fp = filter_might_contain(other, "h", bloom, k, m).count()
+    assert fp / 10_000 < 0.03, f"fp rate {fp / 10_000}"
+
+    m_exp, k_exp = bloom_params(2000, 0.01)
+    assert (m, k) == (m_exp, k_exp) and m % 8 == 0 and k >= 1
+
+    with pytest.raises(ValueError, match="512 MB"):
+        bloom_params(10**12, 0.01)
