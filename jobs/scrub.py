@@ -61,6 +61,12 @@ def parse_args(argv=None):
                    help="derive text = extract_text(html) instead of the "
                         "pre-extracted text column (functions/html.py; "
                         "the raw-crawl ingestion path)")
+    p.add_argument("--from-warc", action="store_true",
+                   help="--input is WARC/WET crawl files (glob ok), not a "
+                        "pages table: sources/warc.py streams records one "
+                        "task per file (WARC is unsplittable). Response "
+                        "records get text = extract_text(html); WET "
+                        "conversion records keep their extracted text")
     p.add_argument("--salt", action="store_true",
                    help="salted repartition on url before scrubbing")
     p.add_argument("--num-partitions", type=int, default=0,
@@ -87,7 +93,18 @@ def run(args, spark=None) -> dict:
     if args.ignore_corrupt_files:
         spark.conf.set(_corrupt_key, "true")
     try:
-        df = read_pages(spark, args.input)
+        if args.from_warc:
+            from incident_pii_redactor_spark.functions.html import extract_text
+            from incident_pii_redactor_spark.sources.warc import read_warc
+
+            df = read_warc(spark, args.input)
+            # response records arrive text-NULL (html only); WET
+            # conversion records arrive with extracted text. coalesce
+            # fills exactly the former, so mixed WARC+WET globs work
+            df = df.withColumn(
+                "text", F.coalesce("text", extract_text("html")))
+        else:
+            df = read_pages(spark, args.input)
         if args.from_html:
             from incident_pii_redactor_spark.functions.html import extract_text
 
