@@ -10,7 +10,7 @@ bench:
 	python bench.py
 
 scaling:
-	python tools/bench_scaling.py --n 2 --passes 2 --rows 100000
+	python tools/bench_scaling.py --passes 2 --rows 100000
 
 # spark-submit --py-files artifact (north rule packaging requirement)
 package:

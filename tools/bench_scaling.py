@@ -222,10 +222,14 @@ at the throughputs above on one node -- roughly four orders of magnitude,
 from the same regex semantics expressed over Arrow batches instead of
 per-document asyncio.
 """
+    # single-run report goes to last_scaling.md: BENCH/BASELINE.md is
+    # the CURATED multi-run history (every ladder ever run, with the
+    # host-state reading) and must never be clobbered by one invocation
+    # -- merge new runs into its run table by hand (bit round 4 AND 5)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "last_scaling.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/last_scaling.md (merge into BENCH/BASELINE.md's run history)")
 
 
 if __name__ == "__main__":
