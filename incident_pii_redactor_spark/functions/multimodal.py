@@ -5,12 +5,13 @@ Image METADATA decoding is REAL header parsing (PNG/GIF/BMP/JPEG are
 public byte formats — no library needed); WAV audio metadata uses the
 stdlib ``wave`` module. PIXEL decoding is real for non-interlaced
 8-bit PNG (stdlib ``zlib`` inflates IDAT; all five row filters) and
-uncompressed BMP. Entropy-coded formats (JPEG) and video keyframe
-extraction still need PIL/ffmpeg (absent in this environment) and fall
-back to an explicitly-marked deterministic fake, as does metadata for
-formats the header parsers don't cover — the Spark-side plumbing
-(schemas, UDF signatures, batch shapes, pruning) is real and tested
-either way.
+uncompressed BMP, and (at DC/block-mean level — all the 8x8 grid
+feature needs) baseline JPEG via a table-driven Huffman walk of the
+entropy stream. Progressive JPEG and video keyframe extraction still
+need PIL/ffmpeg (absent in this environment) and fall back to an
+explicitly-marked deterministic fake, as does metadata for formats the
+header parsers don't cover — the Spark-side plumbing (schemas, UDF
+signatures, batch shapes, pruning) is real and tested either way.
 
 Scale notes: media blobs are large — the operators select only the blob
 + id (column pruning keeps sibling text columns out of the scan), and
@@ -385,6 +386,299 @@ def _decode_bmp_pixels(blob: bytes):
     return 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]
 
 
+_JPEG_SCAN_BUDGET = 2 << 20  # max entropy-coded bytes we Huffman-walk
+_ZIGZAG0 = 0  # DC is always coefficient 0 in zigzag order
+
+
+def _jpeg_huff_lut(bits: list[int], vals: list[int]):
+    """Canonical JPEG Huffman table (DHT BITS/HUFFVAL, spec §C.2) ->
+    16-bit peek LUT: for any 16-bit window, ``sym[v]``/``ln[v]`` give
+    the decoded symbol and its code length (0 = invalid prefix).
+    65536-entry numpy arrays make per-symbol decode one indexed load —
+    the standard table-driven decoder, no per-bit tree walk."""
+    sym = np.full(65536, -1, dtype=np.int16)
+    ln = np.zeros(65536, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals) or code >= (1 << length):
+                raise ValueError("jpeg: corrupt Huffman table")
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+class _JpegBits:
+    """MSB-first bit reader over de-stuffed entropy bytes. The window
+    is padded with 1-bits past the end (encoders pad the final byte
+    with 1s, spec §F.1.2.3), so a well-formed stream's last block
+    decodes without a special case; a truly truncated stream raises."""
+
+    __slots__ = ("data", "pos", "acc", "n", "total_bits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+        self.total_bits = 8 * len(data)
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        while self.n <= 48:
+            self.acc = (self.acc << 8) | (d[p] if p < len(d) else 0xFF)
+            p += 1
+            self.n += 8
+        self.pos = p
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill()
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def drop(self, k: int) -> None:
+        self.n -= k
+        self.total_bits -= k
+        if self.total_bits < 0:
+            raise ValueError("jpeg: bitstream underrun")
+        self.acc &= (1 << self.n) - 1
+
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.drop(k)
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/coefficient sign extension (spec §F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_decode_block(bits: _JpegBits, dlut, alut, pred: int) -> int:
+    """Huffman-decode one 8x8 block, returning its (unquantized-diff
+    applied) DC value. AC coefficients are entropy-decoded to keep the
+    stream in sync but their values are skipped — DC is all the
+    block-mean luma plane needs."""
+    dsym, dln = dlut
+    asym, aln = alut
+    v = bits.peek16()
+    s = dln[v]
+    if s == 0:
+        raise ValueError("jpeg: invalid DC prefix")
+    bits.drop(int(s))
+    size = int(dsym[v])
+    dc = pred + _jpeg_extend(bits.get(size), size)
+    k = 1
+    while k < 64:
+        v = bits.peek16()
+        s = aln[v]
+        if s == 0:
+            raise ValueError("jpeg: invalid AC prefix")
+        bits.drop(int(s))
+        rs = int(asym[v])
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r + 1
+        bits.get(size)  # AC value: decoded for sync, not kept
+    return dc
+
+
+def _jpeg_scan_intervals(blob: bytes, start: int):
+    """Split the entropy-coded scan into restart intervals: de-stuffed
+    byte runs separated by RSTn markers (FFD0-FFD7). Returns
+    (intervals, end_offset); stops at any non-RST marker (EOI/next
+    scan)."""
+    out = []
+    i = start
+    seg_start = start
+    n = len(blob)
+    while i < n:
+        j = blob.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            i = n
+            break
+        nxt = blob[j + 1]
+        if nxt == 0x00:
+            i = j + 2  # stuffed literal FF
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # restart marker
+            out.append(blob[seg_start:j].replace(b"\xff\x00", b"\xff"))
+            seg_start = i = j + 2
+            continue
+        i = j  # real marker: scan over
+        break
+    out.append(blob[seg_start:i].replace(b"\xff\x00", b"\xff"))
+    return out, i
+
+
+def _decode_jpeg_dc_luma(blob: bytes):
+    """REAL (DC-level) baseline JPEG decode, stdlib+numpy only: walks
+    DQT/DHT/SOF0/SOF1/DRI/SOS, Huffman-decodes every coefficient of the
+    entropy stream (AC terms are consumed for stream sync), and keeps
+    each luma block's dequantized DC term. ``mean(block) = DC/8 + 128``
+    exactly (the DCT's 0th basis vector), so the result is the TRUE
+    mean-pooled luma plane at 1/8 resolution — precisely the input the
+    8x8-grid feature mean-pools anyway, with no IDCT and no chroma
+    upsampling. Returns (h//8-ish, w//8-ish) float32 luma or None for
+    progressive/arithmetic/12-bit JPEGs, frames >16 MP, scans >2 MB
+    (adversarial CPU bound, same philosophy as the PNG filter budget),
+    or corrupt streams — caller falls back to the fake."""
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame = None
+    dri = 0
+    i = 2
+    n = len(blob)
+    try:
+        while i + 4 <= n:
+            if blob[i] != 0xFF:
+                return None
+            m = blob[i + 1]
+            if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xD9:
+                return None  # EOI before any scan
+            seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+            if seglen < 2 or i + 2 + seglen > n:
+                return None
+            seg = blob[i + 4:i + 2 + seglen]
+            if m == 0xDB:  # DQT (possibly several tables per segment)
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        qt[tq] = np.frombuffer(
+                            seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                        p += 64
+                    else:
+                        qt[tq] = np.frombuffer(
+                            seg[p:p + 128], dtype=">u2").astype(np.int32)
+                        p += 128
+            elif m == 0xC4:  # DHT (possibly several tables per segment)
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1:p + 17])
+                    nv = sum(bits)
+                    vals = list(seg[p + 17:p + 17 + nv])
+                    if len(vals) < nv:
+                        return None
+                    lut = _jpeg_huff_lut(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = lut
+                    p += 17 + nv
+            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+                if seg[0] != 8:
+                    return None  # 12-bit precision
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if (not _dims_ok(w, h) or w * h > _PNG_MAX_PIXELS
+                        or nc not in (1, 3, 4)):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                    hi, vi = samp >> 4, samp & 15
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        return None
+                    comps.append((cid, hi, vi, tq))
+                frame = (h, w, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / lossless / arithmetic
+            elif m == 0xDD:  # DRI
+                dri = int.from_bytes(seg[:2], "big")
+            elif m == 0xDA:  # SOS: entropy data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                smap = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    smap.append((cs, tt >> 4, tt & 15))
+                return _jpeg_decode_scan(
+                    blob, i + 2 + seglen, frame, smap, qt,
+                    huff_dc, huff_ac, dri)
+            i += 2 + seglen
+        return None
+    except (ValueError, IndexError, KeyError, StopIteration,
+            struct.error):
+        return None
+
+
+def _jpeg_decode_scan(blob, start, frame, smap, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame
+    intervals, _end = _jpeg_scan_intervals(blob, start)
+    if sum(len(s) for s in intervals) > _JPEG_SCAN_BUDGET:
+        return None
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    order = []  # (is_luma, n_blocks_per_mcu, dlut, alut)
+    luma_id = comps[0][0]
+    for cs, td, ta in smap:
+        hi, vi, tq = by_id[cs]
+        order.append((cs == luma_id, hi, vi, huff_dc[td], huff_ac[ta]))
+    hmax = max(hi for _, hi, vi, _, _ in order) if len(order) > 1 else 1
+    vmax = max(vi for _, hi, vi, _, _ in order) if len(order) > 1 else 1
+    if len(order) == 1:
+        if not order[0][0]:
+            return None  # first scan isn't luma (multi-scan file)
+        # non-interleaved single-component scan: MCU = one block
+        order = [(order[0][0], 1, 1, order[0][3], order[0][4])]
+        mcx = (w + 7) // 8
+        mcy = (h + 7) // 8
+        ly_h, ly_w = mcy, mcx
+    else:
+        mcx = (w + 8 * hmax - 1) // (8 * hmax)
+        mcy = (h + 8 * vmax - 1) // (8 * vmax)
+        h0, v0 = by_id[luma_id][0], by_id[luma_id][1]
+        ly_h, ly_w = mcy * v0, mcx * h0
+    q0 = int(qt[by_id[luma_id][2]][_ZIGZAG0])
+    dc_map = np.zeros((ly_h, ly_w), dtype=np.int32)
+    preds = {cs: 0 for cs, _, _ in smap}
+    it = iter(intervals)
+    bits = _JpegBits(next(it))
+    keys = [s[0] for s in smap]
+    mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if dri and mcu and mcu % dri == 0:
+                bits = _JpegBits(next(it))
+                preds = {k: 0 for k in keys}
+            for (is_luma, hi, vi, dlut, alut), cs in zip(order, keys):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        dc = _jpeg_decode_block(
+                            bits, dlut, alut, preds[cs])
+                        preds[cs] = dc
+                        if is_luma:
+                            dc_map[my * vi + byi, mx * hi + bxi] = dc
+            mcu += 1
+    # crop MCU padding blocks, dequantize, undo the level shift:
+    # block mean = DC * qstep / 8 + 128 (DCT basis 0 is flat)
+    dc_map = dc_map[: (h + 7) // 8, : (w + 7) // 8]
+    return np.clip(dc_map.astype(np.float32) * (q0 / 8.0) + 128.0,
+                   0.0, 255.0)
+
+
 def _luma_grid_feature(luma: np.ndarray, dim: int) -> np.ndarray:
     """Mean-pool the luma plane to a g x g grid (g = isqrt(dim)),
     flatten, scale to [0, 1]; tile-resize if dim isn't a square."""
@@ -404,13 +698,15 @@ def _luma_grid_feature(luma: np.ndarray, dim: int) -> np.ndarray:
 def image_feature_udf(dim: int = 64):
     """binary -> deterministic feature vector (array<float>).
 
-    REAL path for non-interlaced 8-bit PNG (zlib-inflated IDAT) and
-    uncompressed BMP: pixel decode + downsampled-luma grid (the feature
-    responds to pixel CONTENT — trailing-byte changes that don't touch
-    pixels leave it unchanged). Every other format still needs PIL
-    (absent here) and falls back to the explicitly-fake md5-keyed
-    projection. Whole batch runs inside one Arrow crossing;
-    signature/batch shape identical to a real model's."""
+    REAL path for 8-bit PNG (zlib-inflated IDAT, interlaced or not),
+    uncompressed BMP, and baseline JPEG (DC-level Huffman decode — the
+    dequantized DC terms ARE the 8x8 block means, which is exactly what
+    this grid feature pools): pixel decode + downsampled-luma grid (the
+    feature responds to pixel CONTENT — trailing-byte changes that
+    don't touch pixels leave it unchanged). Progressive JPEG and other
+    formats still need PIL (absent here) and fall back to the
+    explicitly-fake md5-keyed projection. Whole batch runs inside one
+    Arrow crossing; signature/batch shape identical to a real model's."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<float>")
@@ -418,9 +714,12 @@ def image_feature_udf(dim: int = 64):
         out = []
         for b in blobs:
             blob = b or b""
-            luma = _decode_png_pixels(blob) \
-                if blob[:8] == b"\x89PNG\r\n\x1a\n" \
-                else _decode_bmp_pixels(blob)
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                luma = _decode_png_pixels(blob)
+            elif blob[:2] == b"\xff\xd8":
+                luma = _decode_jpeg_dc_luma(blob)
+            else:
+                luma = _decode_bmp_pixels(blob)
             if luma is not None:
                 out.append(_luma_grid_feature(luma, dim))
                 continue
