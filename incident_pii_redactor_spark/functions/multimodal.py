@@ -6,9 +6,9 @@ public byte formats — no library needed); WAV audio metadata uses the
 stdlib ``wave`` module. PIXEL decoding is real for non-interlaced
 8-bit PNG (stdlib ``zlib`` inflates IDAT; all five row filters) and
 uncompressed BMP, and (at DC/block-mean level — all the 8x8 grid
-feature needs) baseline JPEG via a table-driven Huffman walk of the
-entropy stream. Progressive JPEG and video keyframe extraction still
-need PIL/ffmpeg (absent in this environment) and fall back to an
+feature needs) baseline AND progressive JPEG via a table-driven
+Huffman walk of the entropy stream. Video keyframe extraction still
+needs PIL/ffmpeg (absent in this environment) and falls back to an
 explicitly-marked deterministic fake, as does metadata for formats the
 header parsers don't cover — the Spark-side plumbing (schemas, UDF
 signatures, batch shapes, pruning) is real and tested either way.
@@ -468,9 +468,9 @@ def _jpeg_decode_block(bits: _JpegBits, dlut, alut, pred: int) -> int:
     """Huffman-decode one 8x8 block, returning its (unquantized-diff
     applied) DC value. AC coefficients are entropy-decoded to keep the
     stream in sync but their values are skipped — DC is all the
-    block-mean luma plane needs."""
+    block-mean luma plane needs. ``alut=None`` = a progressive DC scan:
+    the block carries ONLY its DC diff, no AC terms to sync past."""
     dsym, dln = dlut
-    asym, aln = alut
     v = bits.peek16()
     s = dln[v]
     if s == 0:
@@ -478,6 +478,9 @@ def _jpeg_decode_block(bits: _JpegBits, dlut, alut, pred: int) -> int:
     bits.drop(int(s))
     size = int(dsym[v])
     dc = pred + _jpeg_extend(bits.get(size), size)
+    if alut is None:
+        return dc
+    asym, aln = alut
     k = 1
     while k < 64:
         v = bits.peek16()
@@ -526,15 +529,18 @@ def _jpeg_scan_intervals(blob: bytes, start: int):
 
 
 def _decode_jpeg_dc_luma(blob: bytes):
-    """REAL (DC-level) baseline JPEG decode, stdlib+numpy only: walks
-    DQT/DHT/SOF0/SOF1/DRI/SOS, Huffman-decodes every coefficient of the
-    entropy stream (AC terms are consumed for stream sync), and keeps
-    each luma block's dequantized DC term. ``mean(block) = DC/8 + 128``
+    """REAL (DC-level) JPEG decode, stdlib+numpy only: walks
+    DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS, Huffman-decodes the first scan's
+    coefficients (baseline: AC terms consumed for stream sync;
+    progressive: the mandatory first scan IS DC-only), and keeps each
+    luma block's dequantized DC term. ``mean(block) = DC/8 + 128``
     exactly (the DCT's 0th basis vector), so the result is the TRUE
     mean-pooled luma plane at 1/8 resolution — precisely the input the
     8x8-grid feature mean-pools anyway, with no IDCT and no chroma
-    upsampling. Returns (h//8-ish, w//8-ish) float32 luma or None for
-    progressive/arithmetic/12-bit JPEGs, frames >16 MP, scans >2 MB
+    upsampling (progressive refinement scans are skipped: they carry
+    the Al low bits / AC detail the grid ignores). Returns
+    (h//8-ish, w//8-ish) float32 luma or None for
+    lossless/arithmetic/12-bit JPEGs, frames >16 MP, scans >2 MB
     (adversarial CPU bound, same philosophy as the PNG filter budget),
     or corrupt streams — caller falls back to the fake."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
@@ -543,6 +549,7 @@ def _decode_jpeg_dc_luma(blob: bytes):
     huff_dc: dict[int, tuple] = {}
     huff_ac: dict[int, tuple] = {}
     frame = None
+    progressive = False
     dri = 0
     i = 2
     n = len(blob)
@@ -585,7 +592,8 @@ def _decode_jpeg_dc_luma(blob: bytes):
                     lut = _jpeg_huff_lut(bits, vals)
                     (huff_dc if tc == 0 else huff_ac)[th] = lut
                     p += 17 + nv
-            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            elif m in (0xC0, 0xC1, 0xC2):
+                # baseline / extended sequential / progressive (DC-able)
                 if seg[0] != 8:
                     return None  # 12-bit precision
                 h = int.from_bytes(seg[1:3], "big")
@@ -602,9 +610,10 @@ def _decode_jpeg_dc_luma(blob: bytes):
                         return None
                     comps.append((cid, hi, vi, tq))
                 frame = (h, w, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = m == 0xC2
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / lossless / arithmetic
+                return None  # lossless / hierarchical / arithmetic
             elif m == 0xDD:  # DRI
                 dri = int.from_bytes(seg[:2], "big")
             elif m == 0xDA:  # SOS: entropy data follows
@@ -615,9 +624,23 @@ def _decode_jpeg_dc_luma(blob: bytes):
                 for c in range(ns):
                     cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                     smap.append((cs, tt >> 4, tt & 15))
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                al = 0
+                if progressive:
+                    # a progressive file's FIRST scan must be the DC
+                    # scan (spec G.1.1.1.1); its dequantized values are
+                    # the block means we need — the later AC/refinement
+                    # scans only sharpen detail the 8x8 grid ignores.
+                    # Ah=0 first pass; Al low bits arrive in refinement
+                    # scans we skip (documented precision loss <= q0*
+                    # 2^Al/8 gray levels on the block mean).
+                    if ss != 0 or se != 0 or (ahal >> 4) != 0:
+                        return None
+                    al = ahal & 15
                 return _jpeg_decode_scan(
                     blob, i + 2 + seglen, frame, smap, qt,
-                    huff_dc, huff_ac, dri)
+                    huff_dc, huff_ac, dri,
+                    dc_only=progressive, al=al)
             i += 2 + seglen
         return None
     except (ValueError, IndexError, KeyError, StopIteration,
@@ -625,7 +648,8 @@ def _decode_jpeg_dc_luma(blob: bytes):
         return None
 
 
-def _jpeg_decode_scan(blob, start, frame, smap, qt, huff_dc, huff_ac, dri):
+def _jpeg_decode_scan(blob, start, frame, smap, qt, huff_dc, huff_ac, dri,
+                      dc_only: bool = False, al: int = 0):
     h, w, comps = frame
     intervals, _end = _jpeg_scan_intervals(blob, start)
     if sum(len(s) for s in intervals) > _JPEG_SCAN_BUDGET:
@@ -635,7 +659,8 @@ def _jpeg_decode_scan(blob, start, frame, smap, qt, huff_dc, huff_ac, dri):
     luma_id = comps[0][0]
     for cs, td, ta in smap:
         hi, vi, tq = by_id[cs]
-        order.append((cs == luma_id, hi, vi, huff_dc[td], huff_ac[ta]))
+        alut = None if dc_only else huff_ac[ta]
+        order.append((cs == luma_id, hi, vi, huff_dc[td], alut))
     hmax = max(hi for _, hi, vi, _, _ in order) if len(order) > 1 else 1
     vmax = max(vi for _, hi, vi, _, _ in order) if len(order) > 1 else 1
     if len(order) == 1:
@@ -670,7 +695,8 @@ def _jpeg_decode_scan(blob, start, frame, smap, qt, huff_dc, huff_ac, dri):
                             bits, dlut, alut, preds[cs])
                         preds[cs] = dc
                         if is_luma:
-                            dc_map[my * vi + byi, mx * hi + bxi] = dc
+                            # progressive DC scans code DC >> Al
+                            dc_map[my * vi + byi, mx * hi + bxi] = dc << al
             mcu += 1
     # crop MCU padding blocks, dequantize, undo the level shift:
     # block mean = DC * qstep / 8 + 128 (DCT basis 0 is flat)
@@ -701,10 +727,11 @@ def image_feature_udf(dim: int = 64):
     REAL path for 8-bit PNG (zlib-inflated IDAT, interlaced or not),
     uncompressed BMP, and baseline JPEG (DC-level Huffman decode — the
     dequantized DC terms ARE the 8x8 block means, which is exactly what
-    this grid feature pools): pixel decode + downsampled-luma grid (the
-    feature responds to pixel CONTENT — trailing-byte changes that
-    don't touch pixels leave it unchanged). Progressive JPEG and other
-    formats still need PIL (absent here) and fall back to the
+    this grid feature pools; progressive files decode their mandatory
+    DC first scan): pixel decode + downsampled-luma grid (the feature
+    responds to pixel CONTENT — trailing-byte changes that don't touch
+    pixels leave it unchanged). Formats beyond these still need PIL
+    (absent here) and fall back to the
     explicitly-fake md5-keyed projection. Whole batch runs inside one
     Arrow crossing; signature/batch shape identical to a real model's."""
     from pyspark.sql.functions import pandas_udf
@@ -794,17 +821,71 @@ def _decode_mp4_meta(blob: bytes):
     return None
 
 
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Walk RIFF chunks: [fourcc:4][size:4 LE][data][pad-to-even].
+    Corrupt sizes terminate the walk, never loop."""
+    i = start
+    while i + 8 <= end:
+        cid = buf[i:i + 4]
+        size = int.from_bytes(buf[i + 4:i + 8], "little")
+        if i + 8 + size > end:
+            return
+        yield cid, i + 8, i + 8 + size
+        i += 8 + size + (size & 1)
+
+
+def _avi_mjpeg_frame_spans(blob: bytes):
+    """(start, end) byte spans of the JPEG frames inside an AVI's
+    ``LIST movi`` payload — Motion JPEG is the one mainstream video
+    codec whose frames are plain JPEG images, so with the DC-level
+    JPEG decoder the engine can extract REAL frame content with no
+    codec library. Returns None when the blob isn't RIFF-AVI; [] when
+    it is but carries no JPEG video chunks."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    spans = []
+    for cid, s, e in _riff_chunks(blob, 12, len(blob)):
+        if cid != b"LIST" or blob[s:s + 4] != b"movi":
+            continue
+        for fid, fs, fe in _riff_chunks(blob, s + 4, e):
+            # '##dc' = compressed video chunk for stream ##
+            if fid[2:4] == b"dc" and blob[fs:fs + 2] == b"\xff\xd8":
+                spans.append((fs, fe))
+    return spans
+
+
+def _decode_avi_meta(blob: bytes):
+    """REAL AVI metadata from the ``hdrl/avih`` main header:
+    dwMicroSecPerFrame(+0), dwTotalFrames(+16), dwStreams(+24)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    for cid, s, e in _riff_chunks(blob, 12, len(blob)):
+        if cid != b"LIST" or blob[s:s + 4] != b"hdrl":
+            continue
+        for hid, hs, he in _riff_chunks(blob, s + 4, e):
+            if hid != b"avih" or he - hs < 28:
+                continue
+            usec = int.from_bytes(blob[hs:hs + 4], "little")
+            total = int.from_bytes(blob[hs + 16:hs + 20], "little")
+            streams = int.from_bytes(blob[hs + 24:hs + 28], "little")
+            if not 0 < usec <= 10_000_000 or streams > _INT32_MAX:
+                return None
+            fps = round(1_000_000 / usec)
+            return (total * usec / 1_000_000, int(fps), streams, "avi")
+    return None
+
+
 def decode_video_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """binary -> video container metadata via one mapInPandas stage.
-    MP4/ISO-BMFF is parsed for REAL (box walk — the container structure
-    is codec-free); other containers (mkv/webm need EBML + codec probes
-    absent here) fall back to a deterministic fake so plumbing stays
-    testable."""
+    MP4/ISO-BMFF (box walk) and AVI (RIFF ``avih`` header) are parsed
+    for REAL — container structure is codec-free; other containers
+    (mkv/webm need EBML + codec probes absent here) fall back to a
+    deterministic fake so plumbing stays testable."""
     schema = f"{id_col} {_col_type(df, id_col)}, {VIDEO_META_SCHEMA}"
     pruned = df.select(id_col, blob_col)
 
     def decode(blob: bytes):
-        got = _decode_mp4_meta(blob)
+        got = _decode_mp4_meta(blob) or _decode_avi_meta(blob)
         if got is not None:
             return got
         h = hashlib.md5(blob).digest()
@@ -828,9 +909,13 @@ def frame_sample(df: DataFrame, id_col: str, blob_col: str,
                  every_n: int = 30) -> DataFrame:
     """video binary -> one row per sampled frame (frame_no, frame_hash).
 
-    STUB: frame boundaries derived deterministically from the blob hash
-    (real impl: ffmpeg keyframe extraction). Demonstrates the 1->N
-    ``mapInPandas`` expansion shape (UDTF-style) used for frame tables."""
+    REAL for AVI-MJPEG (RIFF walk finds the JPEG frame chunks;
+    frame_no is the true frame index, frame_hash the md5 of the
+    frame's bytes — content-derived, so re-muxing the same frames
+    yields the same hashes). Other containers need ffmpeg (absent) and
+    keep the labeled deterministic fake. Either way this demonstrates
+    the 1->N ``mapInPandas`` expansion shape (UDTF-style) used for
+    frame tables."""
     schema = f"{id_col} {_col_type(df, id_col)}, frame_no int, frame_hash string"
     pruned = df.select(id_col, blob_col)
 
@@ -839,6 +924,14 @@ def frame_sample(df: DataFrame, id_col: str, blob_col: str,
             ids, frames, hashes = [], [], []
             for i, b in zip(pdf[id_col], pdf[blob_col]):
                 blob = b or b""
+                spans = _avi_mjpeg_frame_spans(blob)
+                if spans:
+                    for f in range(0, len(spans), every_n):
+                        fs, fe = spans[f]
+                        ids.append(i)
+                        frames.append(f)
+                        hashes.append(hashlib.md5(blob[fs:fe]).hexdigest())
+                    continue
                 n_frames = 1 + len(blob) % 271
                 for f in range(0, n_frames, every_n):
                     ids.append(i)
@@ -849,5 +942,53 @@ def frame_sample(df: DataFrame, id_col: str, blob_col: str,
             yield pd.DataFrame(
                 {id_col: ids, "frame_no": frames, "frame_hash": hashes}
             )
+
+    return pruned.mapInPandas(run, schema=schema)
+
+
+def frame_features(df: DataFrame, id_col: str, blob_col: str,
+                   every_n: int = 30, dim: int = 64,
+                   max_frames: int = 64) -> DataFrame:
+    """video binary -> (frame_no, feature array<float>) per sampled
+    frame: the video->embedding edge of a multimodal training
+    pipeline. REAL for AVI-MJPEG — each sampled frame runs the DC-level
+    JPEG decode + luma-grid feature (responds to frame CONTENT);
+    other containers fall back to the labeled md5-keyed fake, one
+    vector per sampled pseudo-frame, same shape. ``max_frames`` bounds
+    the per-row output (and the JPEG scan budget bounds per-frame CPU)
+    so one long video cannot stall its task."""
+    schema = (f"{id_col} {_col_type(df, id_col)}, frame_no int, "
+              f"feature array<float>")
+    pruned = df.select(id_col, blob_col)
+
+    def fake_vec(blob: bytes, f: int) -> np.ndarray:
+        h = hashlib.md5(blob + f.to_bytes(4, "little")).digest()
+        seed = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        return np.resize(seed, dim) / 255.0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, feats = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = b or b""
+                spans = _avi_mjpeg_frame_spans(blob)
+                if spans:
+                    picked = list(range(0, len(spans), every_n))[:max_frames]
+                    for f in picked:
+                        fs, fe = spans[f]
+                        luma = _decode_jpeg_dc_luma(blob[fs:fe])
+                        ids.append(i)
+                        frames.append(f)
+                        feats.append(
+                            _luma_grid_feature(luma, dim)
+                            if luma is not None else fake_vec(blob, f))
+                    continue
+                n_frames = 1 + len(blob) % 271
+                for f in list(range(0, n_frames, every_n))[:max_frames]:
+                    ids.append(i)
+                    frames.append(f)
+                    feats.append(fake_vec(blob, f))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": frames, "feature": feats})
 
     return pruned.mapInPandas(run, schema=schema)

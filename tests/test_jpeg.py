@@ -234,6 +234,89 @@ def encode_jpeg(luma: np.ndarray, chroma: tuple | None = None,
     return bytes(out)
 
 
+def _encode_dc_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
+                     pred: int, al: int) -> int:
+    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    dc = int(np.round(coef[0, 0] / q[0, 0])) >> al
+    diff = dc - pred
+    s = _size_cat(diff)
+    c, ln = _DC_CODES[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff - 1 + (1 << s), s)
+    return dc
+
+
+def encode_jpeg_progressive_dc(luma: np.ndarray, al: int = 0,
+                               chroma: tuple | None = None) -> bytes:
+    """Legal progressive JPEG whose mandatory FIRST scan is the DC scan
+    (Ss=Se=0, Ah=0, Al=al); later AC scans are omitted — the decoder
+    under test must stop after scan 1 regardless. A trailing bogus SOS
+    is appended to prove nothing past the first scan is read."""
+    h, w = luma.shape
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, _QY)
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    if chroma is None:
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+                    + bytes([1, 0x11, 0]))
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, al]))
+        y = luma
+        bw = _BitWriter()
+        pred = 0
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                blk = np.full((8, 8), 0, dtype=np.uint8)
+                tile = y[8 * by:8 * by + 8, 8 * bx:8 * bx + 8]
+                blk[:tile.shape[0], :tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    blk[tile.shape[0]:] = blk[tile.shape[0] - 1]
+                if tile.shape[1] < 8:
+                    blk[:, tile.shape[1]:] = blk[:, tile.shape[1] - 1:
+                                                 tile.shape[1]]
+                pred = _encode_dc_block(bw, blk, _QY, pred, al)
+        out += bw.flush()
+    else:
+        out += _dqt(1, _QC)
+        cb, cr = chroma
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+                    + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, al]))
+        bw = _BitWriter()
+        preds = {0: 0, 1: 0, 2: 0}
+        mh, mw = -(-h // 16), -(-w // 16)
+
+        def tile_of(plane, r0, c0):
+            blk = np.zeros((8, 8), dtype=np.uint8)
+            t = plane[r0:r0 + 8, c0:c0 + 8]
+            if t.size == 0:
+                return blk
+            blk[:t.shape[0], :t.shape[1]] = t
+            if t.shape[0] < 8:
+                blk[t.shape[0]:] = blk[t.shape[0] - 1]
+            if t.shape[1] < 8:
+                blk[:, t.shape[1]:] = blk[:, t.shape[1] - 1:t.shape[1]]
+            return blk
+
+        for my in range(mh):
+            for mx in range(mw):
+                for byi in range(2):
+                    for bxi in range(2):
+                        preds[0] = _encode_dc_block(
+                            bw, tile_of(luma, 16 * my + 8 * byi,
+                                        16 * mx + 8 * bxi), _QY,
+                            preds[0], al)
+                preds[1] = _encode_dc_block(
+                    bw, tile_of(cb, 8 * my, 8 * mx), _QC, preds[1], al)
+                preds[2] = _encode_dc_block(
+                    bw, tile_of(cr, 8 * my, 8 * mx), _QC, preds[2], al)
+        out += bw.flush()
+    # bogus second scan: must never be touched by a DC-only decode
+    out += _seg(0xDA, bytes([1, 1, 0x10, 1, 5, 0x02])) + b"\x12\x34\x56"
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _block_means(plane: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     bh, bw_ = -(-h // 8), -(-w // 8)
@@ -295,10 +378,29 @@ def test_restart_markers_resync_and_reset_predictors():
     assert np.abs(col - _block_means(img)).max() < 2.5
 
 
+def test_progressive_dc_first_scan_decodes():
+    img = _smooth_image(48, 64, seed=21)
+    luma = _decode_jpeg_dc_luma(encode_jpeg_progressive_dc(img))
+    assert luma is not None and luma.shape == (6, 8)
+    assert np.abs(luma - _block_means(img)).max() < 2.5
+    # successive approximation: Al=1 loses one DC bit (error <= q0*2/8)
+    luma1 = _decode_jpeg_dc_luma(encode_jpeg_progressive_dc(img, al=1))
+    assert luma1 is not None
+    assert np.abs(luma1 - _block_means(img)).max() < 2.5 + 2 * _QY[0, 0] / 8
+    # interleaved 4:2:0 progressive DC scan
+    cb = np.full((24, 32), 110, np.uint8)
+    cr = np.full((24, 32), 140, np.uint8)
+    lcol = _decode_jpeg_dc_luma(
+        encode_jpeg_progressive_dc(img, chroma=(cb, cr)))
+    assert lcol is not None
+    assert np.abs(lcol - _block_means(img)).max() < 2.5
+
+
 def test_progressive_and_corrupt_fall_back_to_none():
     img = _smooth_image(16, 16)
     good = encode_jpeg(img)
-    # SOF2 (progressive) must refuse
+    # SOF2 with an ILLEGAL first scan (Ss=0, Se=63 — not the mandatory
+    # DC scan) must refuse
     assert _decode_jpeg_dc_luma(encode_jpeg(img, sof_marker=0xC2)) is None
     # truncated entropy stream
     assert _decode_jpeg_dc_luma(good[:len(good) // 2]) is None
@@ -316,6 +418,73 @@ def test_scan_budget_refuses_oversized_entropy_stream():
     assert good[-2:] == b"\xff\xd9"
     bomb = bytes(good[:-2]) + b"\xff\x00" * (3 << 20) + b"\xff\xd9"
     assert _decode_jpeg_dc_luma(bomb) is None
+
+
+def _avi_mjpeg(frames: list, usec_per_frame: int = 33333,
+               streams: int = 1) -> bytes:
+    """Minimal RIFF-AVI container wrapping JPEG frames as 00dc chunks
+    (the Motion-JPEG layout), with a real avih header."""
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    avih = (struct.pack("<IIIIIIII", usec_per_frame, 0, 0, 0,
+                        len(frames), 0, streams, 0) + b"\x00" * 24)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi"
+                 + b"".join(chunk(b"00dc", f) for f in frames))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_avi_meta_and_real_frame_hashes(spark):
+    import hashlib
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        decode_video_meta,
+        frame_sample,
+    )
+
+    jpegs = [encode_jpeg(_smooth_image(16, 16, seed=s)) for s in range(5)]
+    avi = _avi_mjpeg(jpegs, usec_per_frame=40000, streams=2)
+    df = spark.createDataFrame([(1, avi), (2, b"not a video")],
+                               "media_id long, blob binary")
+    meta = {r.media_id: r for r in
+            decode_video_meta(df, "media_id", "blob").collect()}
+    assert meta[1].format == "avi"
+    assert meta[1].n_tracks == 2
+    assert abs(meta[1].duration_s - 5 * 0.04) < 1e-9
+    assert meta[1].timescale == 25  # fps from usec_per_frame
+    assert meta[2].format == "fake"
+
+    fp = frame_sample(df, "media_id", "blob", every_n=2).toPandas()
+    real = fp[fp.media_id == 1].sort_values("frame_no")
+    assert list(real.frame_no) == [0, 2, 4]
+    # content-derived: the hash is the md5 of the frame's own bytes
+    assert list(real.frame_hash) == [
+        hashlib.md5(jpegs[f]).hexdigest() for f in (0, 2, 4)]
+    assert (fp.media_id == 2).sum() >= 1  # fake path still expands
+
+
+def test_frame_features_decode_real_frame_content(spark):
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_jpeg_dc_luma,
+        _luma_grid_feature,
+        frame_features,
+    )
+
+    dark = encode_jpeg(np.full((16, 16), 30, np.uint8))
+    bright = encode_jpeg(np.full((16, 16), 220, np.uint8))
+    avi = _avi_mjpeg([dark, bright])
+    df = spark.createDataFrame([(7, avi)], "media_id long, blob binary")
+    got = {r.frame_no: r.feature for r in
+           frame_features(df, "media_id", "blob", every_n=1,
+                          dim=4).collect()}
+    assert set(got) == {0, 1}
+    assert all(v < 0.3 for v in got[0])   # dark frame
+    assert all(v > 0.7 for v in got[1])   # bright frame
+    exp = _luma_grid_feature(_decode_jpeg_dc_luma(dark), 4)
+    assert np.allclose(got[0], exp)
 
 
 def test_feature_udf_real_jpeg_path(spark):
