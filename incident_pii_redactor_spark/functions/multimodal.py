@@ -268,14 +268,15 @@ def _adam7_samples(raw: np.ndarray, h: int, w: int, nb: int) -> np.ndarray:
 
 
 def _decode_png_pixels(blob: bytes):
-    """REAL pixel decode for 8-bit PNG (stdlib ``zlib`` inflates IDAT —
-    no codec library needed): gray / RGB / palette / gray+alpha / RGBA
-    color types, progressive (Adam7) or not. Returns an (h, w) float32
-    BT.601 luma array, or None for other bit depths, oversized frames
-    (>16 MP — the feature is an 8x8 grid), adversarially-filtered
-    streams (Average/Paeth rows beyond _PNG_SEQ_BYTE_BUDGET — the one
-    per-byte-loop path), or corrupt streams (caller falls back to the
-    fake)."""
+    """REAL pixel decode for 8- and 16-bit PNG (stdlib ``zlib`` inflates
+    IDAT — no codec library needed): gray / RGB / palette / gray+alpha
+    / RGBA color types, progressive (Adam7) or not. 16-bit samples are
+    rescaled to the 0..255 luma range via /257 (the exact 16->8
+    mapping). Returns an (h, w) float32 BT.601 luma array, or None for
+    sub-byte depths, oversized frames (>16 MP — the feature is an 8x8
+    grid), adversarially-filtered streams (Average/Paeth rows beyond
+    _PNG_SEQ_BYTE_BUDGET — the one per-byte-loop path), or corrupt
+    streams (caller falls back to the fake)."""
     if len(blob) < 33 or blob[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     w = h = None
@@ -287,8 +288,10 @@ def _decode_png_pixels(blob: bytes):
                 return None
             w, h = struct.unpack(">II", payload[:8])
             depth, ctype, comp, filt, ilace = payload[8:13]
-            if (depth != 8 or comp != 0 or filt != 0 or ilace not in (0, 1)
+            if (depth not in (8, 16) or comp != 0 or filt != 0
+                    or ilace not in (0, 1)
                     or ctype not in (0, 2, 3, 4, 6)
+                    or (depth == 16 and ctype == 3)  # illegal per spec
                     or not _dims_ok(w, h) or w * h > _PNG_MAX_PIXELS):
                 return None
         elif typ == b"PLTE":
@@ -298,7 +301,12 @@ def _decode_png_pixels(blob: bytes):
             idat += payload
     if w is None or not idat:
         return None
-    nb = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    # nb = FILTER bytes per pixel (channels x sample bytes): PNG filters
+    # operate on bytes with exactly this stride, so the 16-bit path
+    # reuses the 8-bit unfilter verbatim and recombines sample pairs
+    # afterwards
+    sb = depth // 8
+    nb = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * sb
     if ilace:
         need = sum(ph * (pw * nb + 1)
                    for pw, ph in _adam7_pass_dims(w, h) if pw and ph)
@@ -342,7 +350,12 @@ def _decode_png_pixels(blob: bytes):
             samples = _png_unfilter(raw, h, w, nb).reshape(h, w, nb)
     except ValueError:
         return None
-    px = samples.astype(np.float32)
+    if sb == 2:  # 16-bit: big-endian byte pairs -> 0..255 float scale
+        s16 = samples.astype(np.uint16)
+        samples = (s16[..., 0::2] << 8) | s16[..., 1::2]
+        px = samples.astype(np.float32) / 257.0
+    else:
+        px = samples.astype(np.float32)
     if ctype == 0:
         return px[..., 0]
     if ctype == 4:  # gray + alpha: luma is the gray channel

@@ -249,3 +249,66 @@ def url_is_junk(url: str | Column = "url") -> Column:
     ``regexp_matches(url, URL_JUNK_RE)``."""
     c = F.col(url) if isinstance(url, str) else url
     return c.rlike(URL_JUNK_RE)
+
+
+# C4 line-level cleaning rules (Raffel et al. 2020 "Exploring the Limits
+# of Transfer Learning" §2.2 — the rules that produced the C4 corpus):
+# keep a line only if it ends in terminal punctuation (period /
+# exclamation / question mark, optionally followed by a closing quote),
+# carries at least 5 words, and does not mention "javascript" (the
+# enable-JS warning boilerplate). Page-level: reject pages containing
+# "lorem ipsum" (template filler), a curly brace (code), or fewer than
+# 3 sentences after line cleaning. Constants are shared verbatim with
+# the DuckDB twin; RE2-safe (no lookaround), no apostrophe in the
+# pattern so both engines quote it identically.
+C4_TERMINAL_RE = '[.!?]["”]?$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_kept_lines(text: str | Column = "text") -> Column:
+    """array<string> of trimmed lines surviving the C4 line rules."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.transform(F.split(c, "\n"), lambda x: F.trim(x))
+    return F.filter(
+        lines,
+        lambda x: (
+            x.rlike(C4_TERMINAL_RE)
+            & (F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+               >= C4_MIN_LINE_WORDS)
+            & ~F.lower(x).contains("javascript")
+        ),
+    )
+
+
+def clean_lines_c4(text: str | Column = "text") -> Column:
+    """Rebuild the document from its C4-surviving lines (newline-joined;
+    empty string when nothing survives). Pure Catalyst — at corpus scale
+    this is a narrow map over the scan, no shuffle, no Python."""
+    return F.array_join(c4_kept_lines(text), "\n")
+
+
+def c4_kept_lines_sql(expr: str) -> str:
+    """DuckDB twin of :func:`c4_kept_lines` — same constants, same rule
+    order."""
+    keep = (f"regexp_matches(x, '{C4_TERMINAL_RE}') AND "
+            f"len(list_filter(string_split(x, ' '), w -> w <> '')) "
+            f">= {C4_MIN_LINE_WORDS} AND "
+            f"NOT contains(lower(x), 'javascript')")
+    return (f"list_filter(list_transform(string_split({expr}, chr(10)), "
+            f"x -> trim(x)), x -> {keep})")
+
+
+def c4_page_keep(text: str | Column = "text",
+                 cleaned: Column | None = None) -> Column:
+    """C4 page-level verdict over the LINE-CLEANED text: no template
+    filler, no code braces, and at least 3 sentences survive. The
+    sentence count uses terminal punctuation marks in the cleaned text
+    (every kept line ends in one, so this lower-bounds at one per kept
+    line)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = clean_lines_c4(c) if cleaned is None else cleaned
+    low = F.lower(c)
+    n_sent = F.size(F.regexp_extract_all(cleaned, F.lit("[.!?]"), F.lit(0)))
+    return (~low.contains("lorem ipsum") & ~c.contains("{")
+            & (n_sent >= C4_MIN_SENTENCES))

@@ -67,6 +67,13 @@ def parse_args(argv=None):
                         "task per file (WARC is unsplittable). Response "
                         "records get text = extract_text(html); WET "
                         "conversion records keep their extracted text")
+    p.add_argument("--c4-line-filter", action="store_true",
+                   help="apply C4 line-level cleaning (Raffel et al. "
+                        "2020: terminal punctuation, >=5 words, no "
+                        "javascript boilerplate) and drop pages failing "
+                        "the C4 page rules (lorem ipsum / code braces / "
+                        "<3 sentences) BEFORE quality scoring. Pure "
+                        "Catalyst narrow map — no shuffle added")
     p.add_argument("--salt", action="store_true",
                    help="salted repartition on url before scrubbing")
     p.add_argument("--num-partitions", type=int, default=0,
@@ -112,6 +119,15 @@ def run(args, spark=None) -> dict:
             # operator's html-column pruning no longer applies to this
             # run — the scan must read html by definition of the path
             df = df.withColumn("text", extract_text("html"))
+        if args.c4_line_filter:
+            from incident_pii_redactor_spark.functions.text import (
+                c4_page_keep,
+                clean_lines_c4,
+            )
+
+            cleaned = clean_lines_c4("text")
+            df = (df.filter(c4_page_keep("text", cleaned=cleaned))
+                    .withColumn("text", cleaned))
         df = with_bucket(df, "url", args.n_buckets)
         manifest = read_manifest(spark, args.manifest)
         todo = pending(df, manifest, args.run_id)

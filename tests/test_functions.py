@@ -720,6 +720,63 @@ def test_png_pixel_decode_all_filters_and_color_types():
     assert _decode_png_pixels(head + bomb_idat + _chunk(b"IEND", b"")) is None
 
 
+def test_png_16bit_decode():
+    """16-bit PNG: filters run at byte stride (2 bytes/sample), sample
+    pairs recombine big-endian, /257 maps exactly onto the 8-bit luma
+    scale — pixels v*257 must decode to luma v. Palette+16-bit (illegal
+    per spec) and sub-byte depths still refuse."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.multimodal import (
+        _decode_png_pixels,
+    )
+
+    def png16(arr16, ctype, up_rows=False):
+        h, w = arr16.shape[:2]
+        nb = 1 if arr16.ndim == 2 else arr16.shape[2]
+        rows = arr16.reshape(h, w * nb).astype(">u2").view(np.uint8) \
+            .reshape(h, w * nb * 2)
+        raw = bytearray()
+        prev = np.zeros(w * nb * 2, dtype=np.uint8)
+        for r in range(h):
+            if up_rows and r > 0:
+                raw += b"\x02" + bytes(
+                    ((rows[r].astype(np.int32) - prev) % 256)
+                    .astype(np.uint8))
+            else:
+                raw += b"\x00" + bytes(rows[r])
+            prev = rows[r]
+
+        def chunk(typ, payload):
+            return (struct.pack(">I", len(payload)) + typ + payload
+                    + struct.pack(">I", zlib.crc32(typ + payload)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(4)
+    gray8 = rng.integers(0, 256, (6, 9), dtype=np.uint16)
+    luma = _decode_png_pixels(png16(gray8 * 257, ctype=0))
+    assert luma is not None
+    np.testing.assert_allclose(luma, gray8.astype(np.float32), atol=1e-4)
+    # Up filter at 2-byte stride
+    luma_up = _decode_png_pixels(png16(gray8 * 257, ctype=0, up_rows=True))
+    np.testing.assert_allclose(luma_up, gray8.astype(np.float32), atol=1e-4)
+    # 16-bit RGB -> BT.601 luma
+    rgb8 = rng.integers(0, 256, (4, 5, 3), dtype=np.uint16)
+    luma_rgb = _decode_png_pixels(png16(rgb8 * 257, ctype=2))
+    exp = (0.299 * rgb8[..., 0] + 0.587 * rgb8[..., 1]
+           + 0.114 * rgb8[..., 2]).astype(np.float32)
+    np.testing.assert_allclose(luma_rgb, exp, atol=1e-3)
+    # illegal 16-bit palette refuses
+    assert _decode_png_pixels(png16(gray8, ctype=3)) is None
+
+
 def test_png_adam7_interlaced_decode(spark):
     """VERDICT round-4 item 7: Adam7 progressive PNGs decode for real —
     the deinterlaced luma must equal the straight-scan decode of the

@@ -118,6 +118,9 @@ _BROADCAST_ALLOWLIST = {
     "doc_source_quality_rollup": 1,
     "doc_selection_funnel": 1,
     "doc_funnel_yield": 1,
+    # 1-row corpus-count aggregate feeding idf (replaces the r4
+    # driver-side d.count() during query construction)
+    "doc_top_terms_tfidf": 1,
 }
 
 
