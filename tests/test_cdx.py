@@ -1,0 +1,93 @@
+"""CDX(J) index ingestion and pre-fetch selection (sources/cdx.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from incident_pii_redactor_spark.sources.cdx import (
+    cdx_prefetch_select,
+    read_cdx,
+    write_cdxj,
+)
+
+
+def _rows():
+    base = pd.Timestamp("2025-01-01", tz="UTC")
+
+    def digest(s):
+        return hashlib.sha1(s.encode()).hexdigest().upper()[:32]
+
+    return [
+        # two captures of byte-identical content across snapshots:
+        # dedup must keep the EARLIEST
+        dict(url="https://a.example/page1", warc_ts=base,
+             digest=digest("one"), mime="text/html", status=200,
+             warc_file="w1.warc.gz", warc_offset=0, warc_length=900),
+        dict(url="https://a.example/page1?x=1",
+             warc_ts=base + pd.Timedelta(days=30),
+             digest=digest("one"), mime="text/html", status=200,
+             warc_file="w9.warc.gz", warc_offset=100, warc_length=901),
+        # unique content
+        dict(url="https://b.example/article", warc_ts=base,
+             digest=digest("two"), mime="text/html", status=200,
+             warc_file="w1.warc.gz", warc_offset=900, warc_length=500),
+        # non-200 / non-html / junk shapes: all pre-fetch drops
+        dict(url="https://c.example/gone", warc_ts=base,
+             digest=digest("three"), mime="text/html", status=404,
+             warc_file="w2.warc.gz", warc_offset=0, warc_length=300),
+        dict(url="https://c.example/logo", warc_ts=base,
+             digest=digest("four"), mime="image/png", status=200,
+             warc_file="w2.warc.gz", warc_offset=300, warc_length=300),
+        dict(url="https://c.example/search?q=spark", warc_ts=base,
+             digest=digest("five"), mime="text/html", status=200,
+             warc_file="w2.warc.gz", warc_offset=600, warc_length=300),
+    ]
+
+
+def test_cdx_roundtrip_and_corrupt_lines(tmp_path, spark):
+    p = str(tmp_path / "part-0.cdxj")
+    write_cdxj(p, _rows())
+    with open(p, "a") as f:
+        f.write("garbage line without json\n")
+        f.write("com,example)/x 20250101000000 {broken json\n")
+    got = read_cdx(spark, p)
+    pdf = got.toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    assert len(pdf) == 6  # corrupt lines dropped, not fatal
+    exp = (pd.DataFrame(_rows())
+           .sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    assert list(pdf.url) == list(exp.url)
+    assert list(pdf.digest) == list(exp.digest)
+    assert list(pdf.warc_offset) == list(exp.warc_offset)
+    assert str(pdf.dtypes["warc_offset"]) == "int64"
+    assert list(pdf.warc_ts.dt.strftime("%Y%m%d%H%M%S")) == \
+        list(exp.warc_ts.dt.strftime("%Y%m%d%H%M%S"))
+
+
+def test_prefetch_select_filters_and_digest_dedup(tmp_path, spark):
+    p = str(tmp_path / "part-0.cdxj")
+    write_cdxj(p, _rows())
+    sel = cdx_prefetch_select(read_cdx(spark, p)).toPandas()
+    # survivors: earliest capture of digest("one") + digest("two")
+    assert sorted(sel.url) == ["https://a.example/page1",
+                               "https://b.example/article"]
+    first = sel[sel.url == "https://a.example/page1"].iloc[0]
+    assert first.warc_file == "w1.warc.gz"  # earliest, not the re-crawl
+    assert first.warc_offset == 0
+    # the selection is the fetch work-list: byte ranges present
+    assert (sel.warc_length > 0).all()
+
+
+def test_prefetch_plan_is_one_aggregate_no_window(tmp_path, spark):
+    """Scale shape: the digest dedup is a map-side-combined min_by
+    aggregate — no window over the digest key, no join."""
+    p = str(tmp_path / "part-0.cdxj")
+    write_cdxj(p, _rows())
+    plan = cdx_prefetch_select(read_cdx(spark, p)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan.lower() or "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
