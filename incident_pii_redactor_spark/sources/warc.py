@@ -229,6 +229,53 @@ def read_warc(spark, path, max_record_bytes: int = 64 * 1024 * 1024,
     return out.select("url", F.col("warc_ts"), "html", "text", "lang")
 
 
+def read_warc_selected(spark, warc_dir: str, worklist,
+                       max_record_bytes: int = 64 * 1024 * 1024):
+    """Selective WARC fetch driven by a CDX pre-fetch work-list
+    (``sources/cdx.py:cdx_prefetch_select``): reads ONLY the byte
+    ranges of surviving captures instead of streaming whole files —
+    the scale move that makes index-first selection pay off (the
+    work-list is typically 50-70% of captures and ranges are seeked,
+    not scanned).
+
+    ``worklist`` needs (warc_file, warc_offset, warc_length). Ranges
+    are grouped per file (one shuffle on the file name — one task per
+    WARC file, mirroring the full reader's parallelism unit), each
+    task opens its file once and ``seek()``s each range — on object
+    stores this maps to ranged GETs. Each range holds one (usually
+    gzipped) WARC record; parsing reuses the streaming parser."""
+    from pyspark.sql import functions as F
+
+    grouped = (worklist
+               .select("warc_file", "warc_offset", "warc_length")
+               .groupBy("warc_file")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("warc_offset", "warc_length"))).alias("ranges")))
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
+    def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            for fname, ranges in zip(pdf["warc_file"], pdf["ranges"]):
+                fpath = os.path.join(warc_dir, fname)
+                rows = []
+                with open(fpath, "rb") as fh:
+                    for r in ranges:
+                        off = r["warc_offset"]
+                        ln = r["warc_length"]
+                        if ln <= 0 or ln > max_record_bytes:
+                            continue
+                        fh.seek(off)
+                        rows.extend(records_to_page_rows(
+                            fh.read(ln), max_record_bytes))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return grouped.mapInPandas(fetch, PAGES_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic writer (tests / examples / round-trip evidence). A real
 # deployment reads crawler-produced WARCs; this writer exists so the
@@ -256,18 +303,26 @@ def _warc_record(rtype: str, url: str, ts: str, payload: bytes,
 
 
 def write_warc(path: str, pages: pd.DataFrame, wet: bool = False,
-               gzip_per_record: bool = True) -> str:
+               gzip_per_record: bool = True, return_index: bool = False):
     """Write a pages frame as a WARC (response records wrapping an HTTP
     capture) or WET (conversion records) file. ``gzip_per_record=True``
-    produces the Common-Crawl layout (one gzip member per record)."""
+    produces the Common-Crawl layout (one gzip member per record).
+    ``return_index=True`` additionally returns CDX-shaped rows (url,
+    warc_ts, sha1 payload digest, mime, status, warc_file,
+    warc_offset, warc_length) — byte-true, so tests can drive the
+    index-first selective-fetch path against a written file."""
+    import os
+
     out = io.BytesIO()
+    index = []
     for row in pages.itertuples(index=False):
         ts = pd.Timestamp(row.warc_ts).strftime("%Y-%m-%dT%H:%M:%SZ")
         if wet:
-            payload = row.text.encode("utf-8")
+            body = row.text.encode("utf-8")
             extra = (("WARC-Identified-Content-Language", row.lang),
                      ("Content-Type", "text/plain"))
-            rec = _warc_record("conversion", row.url, ts, payload, extra)
+            rec = _warc_record("conversion", row.url, ts, body, extra)
+            mime = "text/plain"
         else:
             body = bytes(row.html)
             http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
@@ -276,6 +331,8 @@ def write_warc(path: str, pages: pd.DataFrame, wet: bool = False,
             rec = _warc_record("response", row.url, ts, http,
                                (("Content-Type",
                                  "application/http; msgtype=response"),))
+            mime = "text/html"
+        off = out.tell()
         if gzip_per_record:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
@@ -283,6 +340,15 @@ def write_warc(path: str, pages: pd.DataFrame, wet: bool = False,
             out.write(buf.getvalue())
         else:
             out.write(rec)
+        index.append({
+            "url": row.url, "warc_ts": pd.Timestamp(row.warc_ts),
+            "digest": hashlib.sha1(body).hexdigest().upper(),
+            "mime": mime, "status": 200,
+            "warc_file": os.path.basename(path),
+            "warc_offset": off, "warc_length": out.tell() - off,
+        })
     with open(path, "wb") as f:
         f.write(out.getvalue())
+    if return_index:
+        return path, index
     return path

@@ -81,6 +81,48 @@ def test_prefetch_select_filters_and_digest_dedup(tmp_path, spark):
     assert (sel.warc_length > 0).all()
 
 
+def test_index_first_selective_fetch_end_to_end(tmp_path, spark):
+    """The full index-first pipeline: write a 2-shard crawl with a
+    byte-true CDX index (incl. a cross-shard duplicate page), select
+    on the index (digest dedup + junk filter), then fetch ONLY the
+    surviving byte ranges via read_warc_selected — result must be the
+    unique non-junk pages with byte-identical html, one record per
+    digest, never the duplicate's re-crawl bytes."""
+    from incident_pii_redactor_spark.sources.pages import synth_pages
+    from incident_pii_redactor_spark.sources.warc import (
+        read_warc_selected,
+        write_warc,
+    )
+
+    pages = synth_pages(30, seed=13)
+    # cross-shard exact duplicate: shard 1 re-crawls page 0 later
+    dup = pages.iloc[[0]].copy()
+    dup["url"] = dup["url"] + "?utm_source=rss"
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(days=30)
+    # and one junk-url capture that must never be fetched
+    junk = pages.iloc[[1]].copy()
+    junk["url"] = "https://c.example/search?q=spark"
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    _, ix0 = write_warc(str(d / "c0.warc.gz"), pages.iloc[:15],
+                        return_index=True)
+    _, ix1 = write_warc(str(d / "c1.warc.gz"),
+                        pd.concat([pages.iloc[15:], dup, junk]),
+                        return_index=True)
+    cdx_path = str(tmp_path / "index.cdxj")
+    write_cdxj(cdx_path, ix0 + ix1)
+
+    sel = cdx_prefetch_select(read_cdx(spark, cdx_path))
+    fetched = read_warc_selected(spark, str(d), sel).toPandas()
+    # 30 unique pages survive; the dup (same digest) and junk are gone
+    assert len(fetched) == 30
+    assert not fetched.url.str.contains("utm_source|/search").any()
+    by_url = {r.url: bytes(r.html) for r in fetched.itertuples()}
+    for row in pages.itertuples():
+        assert by_url[row.url] == bytes(row.html)
+
+
 def test_prefetch_plan_is_one_aggregate_no_window(tmp_path, spark):
     """Scale shape: the digest dedup is a map-side-combined min_by
     aggregate — no window over the digest key, no join."""
