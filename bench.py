@@ -100,6 +100,27 @@ def pages_path(n_shards: int = 32, size_mult: int = 1, rows: int | None = None) 
     return path
 
 
+def warc_path(pages_parquet_dir: str, rows: int, n_shards: int = 32) -> str:
+    """Materialize the cached page corpus as n_shards per-record-gzip
+    WARC files (the CC layout) — generation cached and excluded from
+    timings, like pages_path."""
+    path = os.path.join(CACHE, f"warc_{rows}_sharded")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        from incident_pii_redactor_spark.sources.warc import write_warc
+
+        pdf = pq.read_table(pages_parquet_dir).to_pandas()
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        per = (len(pdf) + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            shard = pdf.iloc[i * per:(i + 1) * per]
+            write_warc(f"{tmp}/part-{i:03d}.warc.gz", shard)
+        os.rename(tmp, path)
+    return path
+
+
 def _fresh_session():
     from incident_pii_redactor_spark.plans import build_session
 
@@ -154,6 +175,26 @@ def run_family(fam: str) -> None:
         extra["scrub_4kb_docs_per_sec"] = round(n_large / min(all_t), 1)
         extra["scrub_4kb_mb_per_sec"] = round(
             large_bytes / 1e6 / min(all_t), 1)
+
+        # WARC ingestion throughput: parse the 4 KB corpus from the CC
+        # per-record-gzip layout (32 shard files -> 32 tasks)
+        from incident_pii_redactor_spark.sources.warc import read_warc
+
+        wdir = warc_path(lpath, rows=large_rows)
+        warc_bytes = sum(
+            os.path.getsize(os.path.join(wdir, f))
+            for f in os.listdir(wdir))
+        all_t = []
+        for _ in range(3):
+            t0 = time.time()
+            n_warc = read_warc(spark, wdir + "/*.warc.gz").count()
+            all_t.append(round(time.time() - t0, 3))
+        assert n_warc == n_large, (n_warc, n_large)
+        samples["warc_parse_4kb"] = {
+            "best": min(all_t), "n": len(all_t), "all": all_t}
+        extra["warc_parse_docs_per_sec"] = round(n_large / min(all_t), 1)
+        extra["warc_parse_mb_per_sec"] = round(
+            warc_bytes / 1e6 / min(all_t), 1)
     else:
         qs = entrymod.queries()
         for name in qs:
@@ -228,12 +269,14 @@ def main() -> None:
 
     fam_total = {}
     for name, t in timings.items():
-        fam = family_of(name) if not name.startswith("scrub_pages") \
+        fam = family_of(name) \
+            if not name.startswith(("scrub_pages", "warc_parse")) \
             else "pages"
         fam_total[fam] = round(fam_total.get(fam, 0.0) + t, 3)
     headline = {
         n: timings[n] for n in (
             "scrub_documents", "scrub_pages_200k", "scrub_pages_4kb",
+            "warc_parse_4kb",
             "doc_dedup_sketches", "doc_neardup_clusters",
             "emb_near_dup_pairs_lsh", "emb_semdedup",
             "doc_top_terms_tfidf", "q1_pricing_summary",
