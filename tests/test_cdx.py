@@ -123,6 +123,50 @@ def test_index_first_selective_fetch_end_to_end(tmp_path, spark):
         assert by_url[row.url] == bytes(row.html)
 
 
+def test_ingest_job_end_to_end_with_robots(tmp_path, spark):
+    """jobs/ingest.py: CDX select -> robots filter -> selective fetch ->
+    pages parquet, with per-stage counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.ingest import parse_args, run
+
+    from incident_pii_redactor_spark.sources.pages import synth_pages
+    from incident_pii_redactor_spark.sources.warc import write_warc
+
+    pages = synth_pages(25, seed=17)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    _, ix = write_warc(str(d / "c0.warc.gz"), pages, return_index=True)
+    cdx_path = str(tmp_path / "index.cdxj")
+    write_cdxj(cdx_path, ix)
+
+    # block one host entirely via robots; every page url is
+    # https://site##.example#.com/<class>/<i>
+    blocked_host = pages.url.str.split("/").str[2].iloc[0]
+    pq.write_table(pa.table({
+        "host": [blocked_host],
+        "robots_txt": ["User-agent: *\nDisallow: /\n"],
+    }), str(tmp_path / "robots.parquet"))
+    n_blocked = pages.url.str.contains(blocked_host, regex=False).sum()
+    assert n_blocked > 0
+
+    stats = run(parse_args(
+        ["--cdx", cdx_path, "--warc-dir", str(d),
+         "--output", str(tmp_path / "out"),
+         "--robots", str(tmp_path / "robots.parquet")]), spark=spark)
+    assert stats["captures_selected"] == 25
+    assert stats["captures_robots_allowed"] == 25 - n_blocked
+    assert stats["pages_fetched"] == 25 - n_blocked
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert len(out) == 25 - n_blocked
+    assert not out.url.str.contains(blocked_host, regex=False).any()
+    by_url = {r.url: bytes(r.html) for r in out.itertuples()}
+    for row in pages.itertuples():
+        if blocked_host not in row.url:
+            assert by_url[row.url] == bytes(row.html)
+
+
 def test_prefetch_plan_is_one_aggregate_no_window(tmp_path, spark):
     """Scale shape: the digest dedup is a map-side-combined min_by
     aggregate — no window over the digest key, no join."""
