@@ -176,3 +176,107 @@ def test_bpe_segment_reconstructs_word(word, n_merges):
                                     n_merges)]
     segs = _segment(word, merges)
     assert "".join(segs) == word + END
+
+
+# --- round 5: crawl-ingestion round-trip invariants -----------------------
+
+_url_strategy = st.from_regex(
+    r"https://[a-z]{1,8}\.example\.com/[A-Za-z0-9_.~-]{0,20}",
+    fullmatch=True)
+
+
+@given(
+    st.lists(
+        st.tuples(_url_strategy,
+                  st.binary(max_size=400),
+                  st.integers(0, 10**9)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_arbitrary_binary_bodies(rows, gz):
+    """WARC write->parse is byte-identity for ARBITRARY html bodies
+    (incl. bytes that look like record separators, gzip magic, or
+    CRLF CRLF) — the north rule's per-row invariant, adversarially."""
+    import pandas as pd
+
+    from incident_pii_redactor_spark.sources.warc import (
+        records_to_page_rows,
+        write_warc,
+    )
+
+    base = pd.Timestamp("2025-01-01", tz="UTC")
+    pages = pd.DataFrame([
+        {"url": u, "warc_ts": base + pd.Timedelta(seconds=s),
+         "html": b, "text": "", "lang": "en"}
+        for u, b, s in rows
+    ])
+    import io as _io
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.warc.gz" if gz else "x.warc")
+        write_warc(p, pages, gzip_per_record=gz)
+        got = list(records_to_page_rows(open(p, "rb").read()))
+    assert len(got) == len(pages)
+    for g, e in zip(got, pages.itertuples(index=False)):
+        assert g["url"] == e.url
+        assert g["html"] == bytes(e.html)
+
+
+@given(st.lists(st.tuples(
+    _url_strategy,
+    st.text(alphabet="0123456789ABCDEF", min_size=8, max_size=16),
+    st.integers(0, 10**12), st.integers(1, 10**6)),
+    min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_cdxj_roundtrip_preserves_fields(rows):
+    import tempfile, os
+
+    import pandas as pd
+
+    from incident_pii_redactor_spark.sources.cdx import write_cdxj
+
+    base = pd.Timestamp("2025-01-01", tz="UTC")
+    recs = [
+        {"url": u, "warc_ts": base + pd.Timedelta(seconds=i),
+         "digest": dg, "mime": "text/html", "status": 200,
+         "warc_file": "w.warc.gz", "warc_offset": off, "warc_length": ln}
+        for i, (u, dg, off, ln) in enumerate(rows)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "i.cdxj")
+        write_cdxj(p, recs)
+        lines = open(p).read().splitlines()
+    import json as _json
+    assert len(lines) == len(recs)
+    for line, r in zip(lines, recs):
+        payload = _json.loads(line.split(" ", 2)[2])
+        assert payload["url"] == r["url"]
+        assert payload["digest"] == r["digest"]
+        assert int(payload["offset"]) == r["warc_offset"]
+
+
+@given(st.text(alphabet=st.sampled_from("ab*/$x"), max_size=12),
+       st.text(alphabet=st.sampled_from("ab/x"), max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_robots_pattern_match_equals_naive(pattern, path):
+    """The compiled robots pattern matcher agrees with a naive
+    backtracking reference on arbitrary */$ patterns."""
+    from incident_pii_redactor_spark.sources.robots import _pattern_re
+
+    def naive(pat: str, s: str) -> bool:
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+
+        def match(pi: int, si: int) -> bool:
+            if pi == len(pat):
+                return si == len(s) if anchored else True
+            if pat[pi] == "*":
+                return any(match(pi + 1, j) for j in range(si, len(s) + 1))
+            return (si < len(s) and s[si] == pat[pi]
+                    and match(pi + 1, si + 1))
+
+        return match(0, 0)
+
+    assert bool(_pattern_re(pattern).match(path)) == naive(pattern, path)
