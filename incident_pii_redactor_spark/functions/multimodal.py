@@ -427,6 +427,9 @@ def _jpeg_huff_lut(bits: list[int], vals: list[int]):
     return sym, ln
 
 
+_HUFF_LUT_CACHE: dict = {}
+
+
 class _JpegBits:
     """MSB-first bit reader over de-stuffed entropy bytes. The window
     is padded with 1-bits past the end (encoders pad the final byte
@@ -602,7 +605,17 @@ def _decode_jpeg_dc_luma(blob: bytes):
                     vals = list(seg[p + 17:p + 17 + nv])
                     if len(vals) < nv:
                         return None
-                    lut = _jpeg_huff_lut(bits, vals)
+                    # memoize on the raw DHT bytes: web corpora reuse
+                    # the handful of Annex-K tables, and rebuilding the
+                    # 65,536-entry LUTs per image dominated small-image
+                    # decode cost (review round 5)
+                    key = bytes(seg[p:p + 17 + nv])
+                    lut = _HUFF_LUT_CACHE.get(key)
+                    if lut is None:
+                        if len(_HUFF_LUT_CACHE) >= 256:
+                            _HUFF_LUT_CACHE.clear()
+                        lut = _jpeg_huff_lut(bits, vals)
+                        _HUFF_LUT_CACHE[key] = lut
                     (huff_dc if tc == 0 else huff_ac)[th] = lut
                     p += 17 + nv
             elif m in (0xC0, 0xC1, 0xC2):

@@ -260,8 +260,12 @@ def url_is_junk(url: str | Column = "url") -> Column:
 # "lorem ipsum" (template filler), a curly brace (code), or fewer than
 # 3 sentences after line cleaning. Constants are shared verbatim with
 # the DuckDB twin; RE2-safe (no lookaround), no apostrophe in the
-# pattern so both engines quote it identically.
-C4_TERMINAL_RE = '[.!?]["”]?$'
+# pattern so both engines quote it identically. The explicit \r? is
+# engine parity, not cosmetics: lines split on \n keep a trailing \r on
+# CRLF text (trim strips only spaces on both engines), and Java's '$'
+# matches BEFORE a final \r while RE2's does not — without \r? the two
+# engines disagree on every CRLF-terminated line (review round 5).
+C4_TERMINAL_RE = '[.!?]["”]?\\r?$'
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
 

@@ -46,15 +46,20 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), " ", 3)
     j = F.from_json(parts.getItem(2), CDXJ_JSON_SCHEMA)
+    # try_* everywhere: Spark 4 ANSI is ON in this engine's sessions, so
+    # a plain to_timestamp/cast would ABORT the whole 300-shard scan on
+    # one malformed timestamp or a classic '-' status (revisit records)
+    # — exactly what this reader promises not to do (review round 5)
     out = lines.select(
         j.getField("url").alias("url"),
-        F.to_timestamp(parts.getItem(1), "yyyyMMddHHmmss").alias("warc_ts"),
+        F.try_to_timestamp(
+            parts.getItem(1), F.lit("yyyyMMddHHmmss")).alias("warc_ts"),
         j.getField("digest").alias("digest"),
         j.getField("mime").alias("mime"),
-        j.getField("status").cast("int").alias("status"),
+        j.getField("status").try_cast("int").alias("status"),
         j.getField("filename").alias("warc_file"),
-        j.getField("offset").cast("bigint").alias("warc_offset"),
-        j.getField("length").cast("bigint").alias("warc_length"),
+        j.getField("offset").try_cast("bigint").alias("warc_offset"),
+        j.getField("length").try_cast("bigint").alias("warc_length"),
     )
     return out.filter(F.col("url").isNotNull())
 

@@ -65,17 +65,24 @@ def parse_robots(txt: str, agent: str = "*") -> "list[tuple[bool, str]]":
         groups.append((cur_agents, cur_rules))
 
     a = agent.lower()
-    best: "tuple[int, list] | None" = None
+    # RFC 9309 §2.2.1: pick the MOST SPECIFIC matching token, then
+    # COMBINE the rules of every group carrying that token (multiple
+    # groups naming the same agent must merge, like the '*' groups do)
+    matches: "list[tuple[int, list]]" = []
     star: "list | None" = None
     for agents, rules in groups:
         for g_agent in agents:
             if g_agent == "*":
                 star = rules if star is None else star + rules
             elif a == g_agent or a.startswith(g_agent):
-                if best is None or len(g_agent) > best[0]:
-                    best = (len(g_agent), rules)
-    if best is not None:
-        return best[1]
+                matches.append((len(g_agent), rules))
+    if matches:
+        top = max(ln for ln, _ in matches)
+        out: list = []
+        for ln, rules in matches:
+            if ln == top:
+                out.extend(rules)
+        return out
     return star if star is not None else []
 
 

@@ -105,6 +105,10 @@ def _stream_records(fh, max_record_bytes: int
             clen = int(headers.get("content-length", ""))
         except ValueError:
             return  # cannot locate the payload end: stop cleanly
+        if clen < 0:
+            # crafted negative length would turn fh.read(clen) into a
+            # read-to-EOF, bypassing the bomb guard (review round 5)
+            return
         if clen > max_record_bytes:
             left = clen
             while left > 0:
@@ -319,8 +323,13 @@ def write_warc(path: str, pages: pd.DataFrame, wet: bool = False,
         ts = pd.Timestamp(row.warc_ts).strftime("%Y-%m-%dT%H:%M:%SZ")
         if wet:
             body = row.text.encode("utf-8")
-            extra = (("WARC-Identified-Content-Language", row.lang),
-                     ("Content-Type", "text/plain"))
+            # omit the language header when lang is NULL — emitting the
+            # literal 'None' would round-trip as the STRING 'None'
+            # instead of NULL (review round 5)
+            extra: tuple = (("Content-Type", "text/plain"),)
+            if isinstance(row.lang, str) and row.lang:
+                extra = (("WARC-Identified-Content-Language", row.lang),
+                         ) + extra
             rec = _warc_record("conversion", row.url, ts, body, extra)
             mime = "text/plain"
         else:

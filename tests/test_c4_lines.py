@@ -53,7 +53,11 @@ def test_duckdb_twin_matches_spark(spark, pages_pdf):
     plus the hand-built edge cases."""
     texts = list(pages_pdf["text"].head(300))
     texts += ["\n".join([GOOD1, BAD_SHORT, GOOD2, BAD_NOPUNCT, BAD_JS,
-                         BAD_EMPTY, GOOD3]), "", "no newline at all."]
+                         BAD_EMPTY, GOOD3]), "", "no newline at all.",
+              # CRLF endings: Java '$' matches before a final \r, RE2's
+              # does not — the shared pattern's \r? keeps the engines
+              # agreeing (review round 5)
+              GOOD1 + "\r\n" + GOOD2 + "\r\n" + BAD_NOPUNCT + "\r"]
     sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                 "id long, text string")
     s_got = {r["id"]: r["kept"] for r in

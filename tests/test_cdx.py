@@ -177,3 +177,33 @@ def test_prefetch_plan_is_one_aggregate_no_window(tmp_path, spark):
     assert "Window" not in plan
     assert "partial_min_by" in plan.lower() or "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_malformed_timestamp_and_revisit_status_survive_ansi(tmp_path,
+                                                             spark):
+    """Spark 4 ANSI is ON: a malformed 14-digit timestamp or the
+    classic '-' status of revisit records must land as NULLs, not abort
+    the scan (review round 5)."""
+    import json as _json
+
+    p = str(tmp_path / "bad.cdxj")
+    good = _rows()[2]
+    with open(p, "w") as f:
+        payload = {"url": "https://t.example/a", "digest": "D1",
+                   "mime": "text/html", "status": "-",
+                   "filename": "w.warc.gz", "offset": "x", "length": "9"}
+        f.write(f"com,example)/a 2024010100000X {_json.dumps(payload)}\n")
+        payload2 = {"url": good["url"], "digest": good["digest"],
+                    "mime": good["mime"], "status": str(good["status"]),
+                    "filename": good["warc_file"],
+                    "offset": str(good["warc_offset"]),
+                    "length": str(good["warc_length"])}
+        f.write(f"com,example)/b 20250101000000 {_json.dumps(payload2)}\n")
+    got = read_cdx(spark, p).toPandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert len(got) == 2  # neither line killed the scan
+    bad = got[got.url == "https://t.example/a"].iloc[0]
+    assert pd.isna(bad.warc_ts) and pd.isna(bad.status) \
+        and pd.isna(bad.warc_offset)
+    ok = got[got.url == good["url"]].iloc[0]
+    assert ok.status == 200 and ok.warc_offset == good["warc_offset"]

@@ -94,3 +94,14 @@ def test_robots_filter_spark(spark):
     assert got == {1: True, 2: False, 3: True, 4: False, 5: True}
     out = robots_filter(frontier, robots)
     assert out.columns == ["id", "url", "robots_allowed"]
+
+
+def test_duplicate_agent_groups_combine():
+    """RFC 9309 §2.2.1: multiple groups naming the same agent merge
+    their rules (review round 5)."""
+    txt = ("User-agent: foobot\nDisallow: /a\n\n"
+           "User-agent: foobot\nDisallow: /b\n")
+    m = RobotsMatcher(txt, "foobot")
+    assert not m.allowed("/a")
+    assert not m.allowed("/b")
+    assert m.allowed("/c")

@@ -186,3 +186,32 @@ def test_read_warc_feeds_from_html_extraction(tmp_path, spark, small_pages):
         "text", extract_text("html")).select("url", "text").collect()}
     assert got == exp
     assert all(v for v in got.values())
+
+
+def test_negative_content_length_rejected(small_pages, tmp_path):
+    """A crafted negative Content-Length must not turn the bounded read
+    into read-to-EOF (review round 5)."""
+    from incident_pii_redactor_spark.sources.warc import _warc_record
+
+    good = _warc_record("response", "https://ok.example/",
+                        "2025-01-01T00:00:00Z",
+                        b"HTTP/1.1 200 OK\r\n\r\nfine")
+    evil = good.replace(b"Content-Length: 23",
+                        b"Content-Length: -1", 1)
+    assert b"Content-Length: -1" in evil
+    rows = list(records_to_page_rows(good + evil + good))
+    # the first good record parses; the negative length ends the
+    # stream (payload end unknowable) without yielding a bomb
+    assert [r["url"] for r in rows] == ["https://ok.example/"]
+
+
+def test_wet_null_lang_roundtrips_as_null(tmp_path):
+    import pandas as pd
+
+    pages = pd.DataFrame([{
+        "url": "https://x.example/p", "warc_ts": pd.Timestamp("2025-01-01"),
+        "html": b"", "text": "hello world", "lang": None}])
+    p = str(tmp_path / "n.warc.wet.gz")
+    write_warc(p, pages, wet=True)
+    rows = list(records_to_page_rows(open(p, "rb").read()))
+    assert rows[0]["lang"] is None  # not the string 'None'
