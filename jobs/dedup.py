@@ -167,14 +167,22 @@ def near_dedup(df, args):
     skew-free, and AQE still broadcasts when the list measures small.
     ``tests/test_resume.py::test_dedup_drop_list_is_not_force_broadcast``
     pins the hint's absence."""
+    # ROW identity is (url, warc_ts), not url (review round 5): url
+    # alone is non-unique across recrawl snapshots, so dropping a url
+    # would also drop a same-url row whose DISTINCT content was never a
+    # near-dup. concat_ws skips NULL ts, degrading to url for tables
+    # without timestamps.
+    keyed = df.withColumn(
+        "_rid",
+        F.concat_ws("\x00", "url", F.col("warc_ts").cast("string")))
     pairs = minhash_lsh_pairs(
-        df, id_col="url", text_col="text",
+        keyed, id_col="_rid", text_col="text",
         n=args.shingle_words, n_perm=args.n_perm, bands=args.bands,
     )
     if not args.no_verify_jaccard:
         # exact verification on candidates only — kills banding FPs
         pairs = jaccard_on_pairs(
-            pairs, df, id_col="url", text_col="text",
+            pairs, keyed, id_col="_rid", text_col="text",
             n=args.shingle_words,
         ).filter(F.col("jaccard") >= args.jaccard_threshold)
     if args.exact_clusters:
@@ -189,12 +197,12 @@ def near_dedup(df, args):
             cluster_keepers(pairs, max_iter=args.cc_max_iter,
                             algorithm=args.cc_algorithm)
             .filter(F.col("node") != F.col("keeper"))
-            .select(F.col("node").alias("url"))
+            .select(F.col("node").alias("_rid"))
         )
     else:
-        # min-url-wins: the larger url of every confirmed pair drops
-        drops = pairs.select(F.col("id_b").alias("url")).distinct()
-    return df.join(drops, on="url", how="left_anti")
+        # min-id-wins: the larger (url, ts) of every confirmed pair drops
+        drops = pairs.select(F.col("id_b").alias("_rid")).distinct()
+    return keyed.join(drops, on="_rid", how="left_anti").drop("_rid")
 
 
 def run(args, spark=None) -> dict:
@@ -287,21 +295,35 @@ def run(args, spark=None) -> dict:
             keep = (
                 keyed.groupBy("_cu")
                 .agg(F.max(F.struct("warc_ts", "url")).alias("k"))
-                .select(F.col("k.url").alias("url"),
-                        F.col("k.warc_ts").alias("warc_ts"))
+                .select(F.col("k.url").alias("_k_url"),
+                        F.col("k.warc_ts").alias("_k_ts"))
             )
-            df = (keyed.join(keep, ["url", "warc_ts"], "left_semi")
-                  .drop("_cu"))
+            # NULL-SAFE keys (review round 5): read_pages NULL-fills a
+            # missing warc_ts column, and a plain equi semi-join on a
+            # NULL key matches NOTHING — the whole corpus would vanish
+            # silently. eqNullSafe keeps NULL-ts groups' keepers.
+            df = (keyed.join(
+                keep,
+                keyed["url"].eqNullSafe(keep["_k_url"])
+                & keyed["warc_ts"].eqNullSafe(keep["_k_ts"]),
+                "left_semi",
+            ).drop("_cu"))
             df = ctr.checkpoint(df, stats, "rows_after_url_canonical")
 
         if args.mode in ("exact", "both"):
+            # keeper identity is (url, content-hash), not url alone
+            # (review round 5): with recrawl rows (A,X),(B,X),(B,Y) a
+            # url-only semi join kept B's (B,X) too — text X survived
+            # twice — because B is Y's legitimate keeper. Joining on
+            # both keys keeps exactly the keeper ROWS.
+            hashed = df.withColumn("_h", content_hash("text"))
             keepers = (
-                df.select("url", content_hash("text").alias("_h"))
-                .groupBy("_h")
+                hashed.groupBy("_h")
                 .agg(F.min("url").alias("url"))
-                .select("url")
+                .select("url", "_h")
             )
-            df = df.join(keepers, on="url", how="left_semi")
+            df = (hashed.join(keepers, ["url", "_h"], "left_semi")
+                  .drop("_h"))
             df = ctr.checkpoint(df, stats, "rows_after_exact")
 
         if args.mode in ("near", "both"):

@@ -50,8 +50,13 @@ def run(args, spark=None) -> dict:
         spark = build_session("shard-export", master=args.master)
     try:
         df = spark.read.parquet(args.input)
+        # repartition on shard BEFORE the window: the window requires
+        # hash-partitioning by the same key, so EnsureRequirements
+        # reuses this exchange instead of adding its own — placing the
+        # repartition after the window shuffled the full corpus twice
+        # on the identical key (review round 5)
         laid = shard_assignment(df, args.n_shards, args.key_col,
-                                seed=args.seed)
+                                seed=args.seed).repartition("shard")
         w = Window.partitionBy("shard").orderBy("pos") \
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         n_tok = token_count_bpe_ish(args.text_col).cast("bigint")
@@ -65,8 +70,7 @@ def run(args, spark=None) -> dict:
         # is [shard]; sorting by pos alone makes Spark insert its own
         # non-contractually-stable sort on shard above ours, which can
         # interleave a shard's equal-key runs on spill (review round 3)
-        (out.repartition("shard")
-            .sortWithinPartitions("shard", "pos")
+        (out.sortWithinPartitions("shard", "pos")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(args.output))

@@ -51,7 +51,33 @@ def parse_args(argv=None):
     p.add_argument("--bucket-group-size", type=int, default=8)
     p.add_argument("--run-id", default="run1")
     p.add_argument("--master", default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.dedup_mode == "none":
+        # fail fast instead of silently ignoring dedup-stage flags
+        # (review round 5): each of these only takes effect inside the
+        # dedup stage, which --dedup-mode none skips entirely
+        offending = [name for name, on in (
+            ("--paragraph", args.paragraph),
+            ("--url-canonical", args.url_canonical),
+            ("--clean-unicode", args.clean_unicode),
+            ("--against", args.against),
+            ("--exact-clusters", args.exact_clusters),
+        ) if on]
+        if offending:
+            p.error(f"--dedup-mode none ignores {', '.join(offending)}: "
+                    "these run inside the dedup stage")
+    return args
+
+
+def _committed(spark, path: str) -> bool:
+    """True when ``path/_SUCCESS`` exists on the path's OWN filesystem
+    (Hadoop FS API — a driver-local ``os.path.exists`` always said
+    False for hdfs://, s3a:// workdirs, so every restart silently
+    recomputed the whole dedup stage; review round 5)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def run(args, spark=None) -> dict:
@@ -66,7 +92,7 @@ def run(args, spark=None) -> dict:
         stats: dict = {}
         if args.dedup_mode == "none":
             deduped = args.input
-        elif os.path.exists(os.path.join(deduped, "_SUCCESS")):
+        elif _committed(spark, deduped):
             stats["dedup"] = "skipped (committed output present)"
         else:
             dargs = ["--input", args.input, "--output", deduped,

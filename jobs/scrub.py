@@ -100,6 +100,16 @@ def run(args, spark=None) -> dict:
     if args.ignore_corrupt_files:
         spark.conf.set(_corrupt_key, "true")
     try:
+        if args.from_warc and args.from_html:
+            # --from-warc already extracts text for response records
+            # while PRESERVING WET records' extracted text; a blanket
+            # --from-html re-extraction would overwrite WET text with
+            # extract_text(NULL html) = NULL — silent data loss
+            # (review round 5)
+            raise SystemExit(
+                "--from-warc and --from-html are mutually exclusive: "
+                "the WARC path already extracts text from response "
+                "records and keeps WET conversion text")
         if args.from_warc:
             from incident_pii_redactor_spark.functions.html import extract_text
             from incident_pii_redactor_spark.sources.warc import read_warc

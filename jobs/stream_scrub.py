@@ -158,13 +158,27 @@ def run(args, spark=None) -> dict:
             spark.streams.resetTerminated()
             # awaitAnyTermination: a failure in EITHER query surfaces
             # immediately (sequential per-query waits would both mask a
-            # dead metrics stream and run the job up to 2x the timeout)
-            spark.streams.awaitAnyTermination(args.timeout_sec * 1000)
-            for q in queries:
-                q.stop()
+            # dead metrics stream and run the job up to 2x the timeout).
+            # PySpark's timeout is SECONDS (it converts to ms itself) —
+            # passing sec*1000 made a 60 s bound wait ~16.7 h (review
+            # round 5). The finally also covers the raise path: without
+            # it a failed metrics query left the scrub query running
+            # forever on a caller-provided session.
+            try:
+                spark.streams.awaitAnyTermination(args.timeout_sec)
+            finally:
+                for q in queries:
+                    q.stop()
         else:
             spark.streams.resetTerminated()  # same reused-session hazard
-            spark.streams.awaitAnyTermination()  # raises on query failure
+            try:
+                spark.streams.awaitAnyTermination()  # raises on failure
+            finally:
+                if not owns:
+                    # a caller-provided session must not keep orphaned
+                    # sibling queries writing after run() returns/raises
+                    for q in queries:
+                        q.stop()
         return {"queries": len(queries)}
     finally:
         if owns:

@@ -864,3 +864,96 @@ def test_bloom_filter_properties(spark):
 
     with pytest.raises(ValueError, match="512 MB"):
         bloom_params(10**12, 0.01)
+
+
+def test_dedup_exact_keeps_keeper_rows_not_keeper_urls(spark,
+                                                       tmp_path_factory):
+    """Recrawl snapshots make url non-unique: with rows (A,X), (B,X),
+    (B,Y), url B is Y's legitimate keeper but (B,X) must still drop —
+    the keeper identity is (url, content), not url (review round 5)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("dedupid")
+    t1, t2 = dt.datetime(2025, 1, 1), dt.datetime(2025, 6, 1)
+    X = "shared content about spark engines " * 5
+    Y = "completely different second crawl of the same url " * 5
+    rows = [("https://a", t1, b"", X, "en"),
+            ("https://b", t1, b"", X, "en"),
+            ("https://b", t2, b"", Y, "en")]
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, str(d / "pages.parquet"))
+    dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"), "--output", str(d / "out"),
+         "--mode", "exact"]), spark=spark)
+    got = sorted((r.url, r.text) for r in
+                 spark.read.parquet(str(d / "out")).collect())
+    assert got == [("https://a", X), ("https://b", Y)]
+
+
+def test_dedup_url_canonical_survives_null_warc_ts(spark,
+                                                   tmp_path_factory):
+    """A pages table whose warc_ts is all NULL must not vanish through
+    the url-canonical semi join (NULL equi-keys match nothing without
+    eqNullSafe; review round 5)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("dedupnullts")
+    rows = [("https://a.example/p?utm_source=x", None, b"",
+             "first page content here", "en"),
+            ("https://b.example/q", None, b"",
+             "second page content here", "en")]
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, str(d / "pages.parquet"))
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"), "--output", str(d / "out"),
+         "--mode", "exact", "--url-canonical"]), spark=spark)
+    assert stats["rows_after_url_canonical"] == 2
+    assert spark.read.parquet(str(d / "out")).count() == 2
+
+
+def test_pipeline_rejects_dedup_flags_with_mode_none():
+    from jobs.pipeline import parse_args as pipeline_args
+
+    with pytest.raises(SystemExit):
+        pipeline_args(["--input", "/x", "--workdir", "/y",
+                       "--dedup-mode", "none", "--paragraph"])
+    with pytest.raises(SystemExit):
+        pipeline_args(["--input", "/x", "--workdir", "/y",
+                       "--dedup-mode", "none", "--against", "/hist"])
+    # without dedup-stage flags the combination is fine
+    args = pipeline_args(["--input", "/x", "--workdir", "/y",
+                          "--dedup-mode", "none", "--from-html"])
+    assert args.dedup_mode == "none"
+
+
+def test_scrub_rejects_from_warc_plus_from_html(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warcconflict")
+    with pytest.raises(SystemExit):
+        run(parse_args(
+            ["--input", str(d / "x.warc.gz"), "--output", str(d / "o"),
+             "--manifest", str(d / "m"), "--from-warc", "--from-html"]),
+            spark=spark)
