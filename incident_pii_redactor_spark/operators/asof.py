@@ -159,6 +159,13 @@ def range_join(
                          f"NULL every bin and match nothing)")
     if "_bin" in left.columns or "_bin" in right.columns:
         raise ValueError("range_join: inputs must not carry a _bin column")
+    shared = sorted(set(left.columns) & set(right.columns))
+    if shared:
+        # same defect class asof_join guards against (round 2): a silent
+        # duplicate column name breaks every downstream by-name access
+        raise ValueError(
+            f"range_join: left and right share column names {shared} — "
+            "rename one side before joining")
     # floor, not cast: a bare long-cast truncates toward zero and would
     # mis-bin pre-1970 timestamps
     lbin = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_seconds)

@@ -45,7 +45,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from incident_pii_redactor_spark.functions.text import fingerprint
 
-STATE_SCHEMA = "seen boolean"
+# anchor_ms = the group's ALL-TIME max event time. Persisted so a LATE
+# duplicate cannot shrink the TTL (review round 5): re-anchoring on only
+# the current batch's max event time rewrote the timeout EARLIER when a
+# late copy arrived, evicting the key before the first-seen row's
+# guarantee and re-emitting in-TTL duplicates.
+STATE_SCHEMA = "seen boolean, anchor_ms bigint"
 
 
 def _set_ttl(state: GroupState, ttl_ms: int, event_ttl_ms: int,
@@ -94,7 +99,9 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0,
             state.remove()
             return
         already = state.exists and state.get[0]
-        max_ev = 0  # group's max event time anchors the TTL (see _set_ttl)
+        # group's ALL-TIME max event time anchors the TTL (see
+        # STATE_SCHEMA note) — never let a late batch shrink it
+        max_ev = int(state.get[1]) if state.exists else 0
         if not already:
             # deterministic representative across ALL Arrow chunks of the
             # group (large groups arrive as multiple chunks in shuffle-
@@ -108,9 +115,11 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0,
                 if not len(pdf):
                     continue
                 max_ev = max(max_ev, _max_event_ms(pdf, ts_col))
+                ts_vals = (pdf[ts_col].astype(str)
+                           if ts_col in pdf.columns
+                           else [""] * len(pdf))  # ts_col is optional
                 keys = list(
-                    zip(pdf["url"].fillna("").astype(str),
-                        pdf[ts_col].astype(str))
+                    zip(pdf["url"].fillna("").astype(str), ts_vals)
                 )
                 i = min(range(len(keys)), key=keys.__getitem__)
                 if best_key is None or keys[i] < best_key:
@@ -120,7 +129,7 @@ def _make_emit_first(ttl_ms: int, event_ttl_ms: int = 0,
         else:
             for pdf in pdfs:  # drain; duplicates still refresh the TTL
                 max_ev = max(max_ev, _max_event_ms(pdf, ts_col))
-        state.update((True,))
+        state.update((True, max_ev))
         _set_ttl(state, ttl_ms, event_ttl_ms, max_ev)
 
     return emit_first
@@ -140,6 +149,12 @@ def streaming_exact_dedup(pages: DataFrame, text_col: str = "text",
     Input: streaming DataFrame with url/text[/ts_col]. TTL modes: see
     module docstring — ``event_ttl_ms`` (event-time, recommended),
     ``ttl_ms`` (processing-time, continuous only), both 0 = unbounded."""
+    if "_fp" in pages.columns:
+        # refuse instead of silently clobbering: the output schema is
+        # built from the input schema, so a clobbered _fp would die as
+        # an opaque worker-side Arrow schema mismatch (review round 5)
+        raise ValueError("input column '_fp' collides with the "
+                         "operator's internal key column")
     if event_ttl_ms > 0:
         pages = pages.withWatermark(ts_col, watermark_delay)
     key = key_expr if key_expr is not None else fingerprint(text_col)

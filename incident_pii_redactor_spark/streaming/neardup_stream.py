@@ -68,7 +68,10 @@ from incident_pii_redactor_spark.streaming.dedup_stream import (
     _timeout_conf,
 )
 
-STATE_SCHEMA = "sigs string"
+# anchor_ms persists the bucket's ALL-TIME max event time so a late
+# row cannot shrink the TTL and evict kept signatures early (review
+# round 5; same fix as dedup_stream.STATE_SCHEMA)
+STATE_SCHEMA = "sigs string, anchor_ms bigint"
 _SIG_SEP = ";"
 
 
@@ -91,7 +94,7 @@ def _make_band_fn(threshold: float, max_kept: int, ttl_ms: int,
         if state.exists and state.get[0]:
             kept = [s.split("|") for s in state.get[0].split(_SIG_SEP)]
         rows = []
-        max_ev = 0
+        max_ev = int(state.get[1]) if state.exists else 0
         for pdf in pdfs:
             if len(pdf):
                 rows.append(pdf)
@@ -116,7 +119,7 @@ def _make_band_fn(threshold: float, max_kept: int, ttl_ms: int,
             out = batch.drop(columns=["_key"])
             out["_matched"] = matched
             yield out
-        state.update((_SIG_SEP.join("|".join(s) for s in kept),))
+        state.update((_SIG_SEP.join("|".join(s) for s in kept), max_ev))
         _set_ttl(state, ttl_ms, event_ttl_ms, max_ev)
 
     return band_group
@@ -170,6 +173,11 @@ def streaming_neardup_dedup(
             "minhashes would silently be ignored"
         )
     rows_per_band = n_perm // bands
+    clash = [c for c in pages.columns
+             if c in ("_sig", "_keys", "_nb", "_key", "_doc", "_matched")]
+    if clash:
+        raise ValueError(f"input columns {clash} collide with the "
+                         "operator's internal columns")
     if event_ttl_ms > 0:
         pages = pages.withWatermark(ts_col, watermark_delay)
     sig = minhash_signature(text_col, n=n, n_perm=n_perm)
@@ -218,8 +226,15 @@ def streaming_neardup_dedup(
     # ColumnarBatchRow views, and an Exchange placed directly above it
     # crashes in UnsafeRowSerializer (ClassCastException; reproduced
     # minimally). A surviving Project materializes UnsafeRows first.
+    # md5(text) rides in the recombine key (review round 5): distinct
+    # SHORT docs share the sentinel _sig, so (url, ts, _sig) collided
+    # for two different short texts with equal url+ts and the
+    # unmatched==_nb test then dropped BOTH. Identical copies still
+    # share the key (equal text => equal md5), which the m-copies
+    # emit-one logic relies on.
     doc_key = F.concat_ws(
-        "\x00", F.col("url"), F.col(ts_col).cast("string"), F.col("_sig")
+        "\x00", F.col("url"), F.col(ts_col).cast("string"),
+        F.col("_sig"), F.md5(F.col(text_col))
     )
     return (
         stage1.withColumn("_doc", doc_key)

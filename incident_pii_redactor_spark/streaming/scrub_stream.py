@@ -13,26 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    BinaryType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
 from incident_pii_redactor_spark.operators.scrub import quality_scrub
 from incident_pii_redactor_spark.quality.scorer import QualityConfig, WEB_DEFAULT
 
-PAGES_SCHEMA = StructType(
-    [
-        StructField("url", StringType()),
-        StructField("warc_ts", TimestampType()),
-        StructField("html", BinaryType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-    ]
-)
+# single authoritative pages schema (review round 5: a StructType copy
+# here could drift from the canonical DDL the sources share)
+from incident_pii_redactor_spark.sources.warc import PAGES_SCHEMA
 
 
 def read_pages_stream(spark: SparkSession, path: str,

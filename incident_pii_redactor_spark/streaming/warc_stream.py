@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from incident_pii_redactor_spark.sources.warc import (
     PAGES_SCHEMA,
-    records_to_page_rows,
+    blobs_to_page_batches,
 )
 
 
@@ -45,17 +45,8 @@ def read_warc_stream(spark: SparkSession, path: str,
              .select("content"))
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
-            for blob in pdf["content"]:
-                rows = []
-                for row in records_to_page_rows(bytes(blob),
-                                                max_record_bytes):
-                    rows.append(row)
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+            yield from blobs_to_page_batches(
+                pdf["content"], max_record_bytes, batch_rows)
 
     return files.mapInPandas(parse, PAGES_SCHEMA)

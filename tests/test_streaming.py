@@ -485,3 +485,51 @@ def test_stream_scrub_job_url_dedup(spark, tmp_path_factory):
         srun(sargs(["--input", str(d / "in"), "--output", str(d / "o2"),
                     "--checkpoint", str(d / "c2"), "--url-dedup",
                     "--dedup", "--available-now"]), spark=spark)
+
+
+def test_streaming_neardup_distinct_short_docs_same_url_both_emit(
+        spark, tmp_path_factory):
+    """Two DIFFERENT short (unshingleable) texts sharing url and
+    warc_ts must BOTH emit: they share the sentinel signature, so the
+    recombine key needs md5(text) to keep them apart (review round 5 —
+    without it the unmatched==n_bands test failed for both and both
+    vanished)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incident_pii_redactor_spark.streaming.neardup_stream import (
+        streaming_neardup_dedup,
+    )
+
+    d = tmp_path_factory.mktemp("shortdocs")
+    ts = dt.datetime(2025, 1, 1)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    rows = [("u1", ts, b"", "tiny one", "en"),
+            ("u1", ts, b"", "tiny two", "en"),   # same url+ts, diff text
+            ("u2", ts, b"", "tiny one", "en")]   # exact short dup of row 0
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=schema, preserve_index=False), str(d / "b0.parquet"))
+
+    pages = (spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = tmp_path_factory.mktemp("shortdocs_out")
+    q = (streaming_neardup_dedup(pages)
+         .writeStream.format("parquet")
+         .option("path", str(out / "data"))
+         .option("checkpointLocation", str(out / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = sorted((r.url, r.text) for r in
+                 spark.read.parquet(str(out / "data")).collect())
+    # both distinct short texts survive; the exact short dup (u2) drops
+    assert got == [("u1", "tiny one"), ("u1", "tiny two")]
