@@ -92,10 +92,14 @@ def build_bloom(
         bits = np.zeros(nbytes, dtype=np.uint8)
         any_rows = False
         for pdf in batches:
-            if not len(pdf):
+            # NULL hashes can never match the exact anti-join this
+            # bloom accelerates — skip them instead of crashing in
+            # _probes (review round 5)
+            col = pdf[hash_col].dropna()
+            if not len(col):
                 continue
             any_rows = True
-            pos = _probes(pdf[hash_col], k, m).ravel()
+            pos = _probes(col, k, m).ravel()
             np.bitwise_or.at(bits, pos >> 3,
                              np.uint8(1) << (pos & 7).astype(np.uint8))
         if any_rows:
@@ -132,6 +136,20 @@ def filter_might_contain(
         for pdf in batches:
             if not len(pdf):
                 yield pdf
+                continue
+            # NULL hashes: the exact anti-join would KEEP them (NULL
+            # keys never match), so the prefilter must pass them
+            # through, not crash (review round 5)
+            nn = pdf[col].notna()
+            if not nn.all():
+                keep = ~nn.to_numpy()
+                sub = pdf[nn]
+                if len(sub):
+                    pos = _probes(sub[col], k, m)
+                    hit = ((bits[pos >> 3]
+                            >> (pos & 7).astype(np.uint8)) & 1)                         .all(axis=1)
+                    keep[nn.to_numpy()] = hit
+                yield pdf[keep]
                 continue
             pos = _probes(pdf[col], k, m)
             hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1

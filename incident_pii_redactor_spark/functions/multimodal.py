@@ -92,8 +92,10 @@ def _decode_image_fallback(blob: bytes) -> tuple[int, int, int, str]:
     width = 64 + (struct.unpack("<H", h[0:2])[0] % 1985)
     height = 64 + (struct.unpack("<H", h[2:4])[0] % 1985)
     channels = 3 if h[4] % 4 else 1
-    fmt = ("jpeg", "png", "webp")[h[5] % 3]
-    return width, height, channels, fmt
+    # labeled 'fake' like the audio/video fallbacks (review round 5:
+    # labeling invented dims with a real format name made them
+    # indistinguishable from genuinely parsed headers)
+    return width, height, channels, "fake"
 
 
 def _decode_image(blob: bytes) -> tuple[int, int, int, str]:
@@ -932,7 +934,7 @@ def decode_video_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, id_col: str, blob_col: str,
-                 every_n: int = 30) -> DataFrame:
+                 every_n: int = 30, max_frames: int = 64) -> DataFrame:
     """video binary -> one row per sampled frame (frame_no, frame_hash).
 
     REAL for AVI-MJPEG (RIFF walk finds the JPEG frame chunks;
@@ -952,14 +954,17 @@ def frame_sample(df: DataFrame, id_col: str, blob_col: str,
                 blob = b or b""
                 spans = _avi_mjpeg_frame_spans(blob)
                 if spans:
-                    for f in range(0, len(spans), every_n):
+                    # same per-row bound as frame_features: one long
+                    # video must not stall its task (review round 5)
+                    for f in list(range(0, len(spans),
+                                        every_n))[:max_frames]:
                         fs, fe = spans[f]
                         ids.append(i)
                         frames.append(f)
                         hashes.append(hashlib.md5(blob[fs:fe]).hexdigest())
                     continue
                 n_frames = 1 + len(blob) % 271
-                for f in range(0, n_frames, every_n):
+                for f in list(range(0, n_frames, every_n))[:max_frames]:
                     ids.append(i)
                     frames.append(f)
                     hashes.append(

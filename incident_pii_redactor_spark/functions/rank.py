@@ -90,8 +90,18 @@ def distributed_percent_rank(
         (F.row_number().over(local) + F.col("_off") - F.lit(1))
         .cast("double") / (F.col("_n") - F.lit(1)).cast("double"),
     ).otherwise(F.lit(0.0))
+    # eqNullSafe on the group key (review round 5): a plain equi join
+    # DROPPED every NULL-group row, while the single-window rank this
+    # function must match bit-identically keeps NULL as its own
+    # partition
+    offd = F.broadcast(off.select(
+        F.col(group_col).alias("_g"), F.col("_pid").alias("_opid"),
+        "_off", "_n"))
     return (
-        parts.join(F.broadcast(off), [group_col, "_pid"])
+        parts.join(offd,
+                   parts[group_col].eqNullSafe(offd["_g"])
+                   & (parts["_pid"] == offd["_opid"]))
+        .drop("_g", "_opid")
         .withColumn(out, pr)
         .drop("_pid", "_off", "_n")
     )

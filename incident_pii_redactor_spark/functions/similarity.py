@@ -225,6 +225,10 @@ def train_ivf_centroids(
 
     got = (
         df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        # NULL embeddings cannot train (np.stack over None raises in
+        # the worker; review round 5) — signbit_bucket_udf's null
+        # tolerance is for ASSIGNMENT paths, not training
+        .filter(F.col("_v").isNotNull())
         .withColumn("_b", bucket(F.col("_v")))
         .groupBy("_b")
         .applyInPandas(mean_group, schema="_b int, centroid array<double>")
@@ -460,6 +464,7 @@ def train_pq_codebooks(
 
     got = (
         df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())  # nulls cannot train
         .withColumn("_bs", buckets(F.col("_v")))
         .select("_i", "_v", F.posexplode("_bs").alias("_j", "_b"))
         .groupBy("_j", "_b")
@@ -646,7 +651,9 @@ def kmeans_fit(
                              "n": [len(pdf)],
                              "centroid": [mat.mean(axis=0).tolist()]})
 
-    base = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+    base = (df.select(F.col(id_col).alias("_i"),
+                      F.col(vec_col).alias("_v"))
+            .filter(F.col("_v").isNotNull()))  # nulls cannot train
     got = (
         base.withColumn("_b", bucket(F.col("_v")))
         .groupBy("_b")

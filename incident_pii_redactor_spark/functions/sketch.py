@@ -34,12 +34,13 @@ class KLL:
     """KLL sketch over float64 values. ``k`` bounds level capacity
     (rank error ≈ 1.7/k at 99% for the classic analysis)."""
 
-    __slots__ = ("k", "levels", "n")
+    __slots__ = ("k", "levels", "n", "c")
 
     def __init__(self, k: int = 200):
         self.k = int(k)
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
+        self.c = 0  # compactions performed (varies the hash-coin)
 
     # -- building -----------------------------------------------------
     def _capacity(self, level: int) -> int:
@@ -57,7 +58,12 @@ class KLL:
         self._compress()
 
     def _coin(self, level: int) -> int:
-        h = hashlib.md5(f"{level}|{self.n}".encode()).digest()
+        # keyed on the COMPACTION counter, not items inserted (review
+        # round 5): within one insert_batch/_compress cascade n is
+        # fixed, so an n-keyed coin reused the same parity for every
+        # compaction of a level, systematically dropping the same
+        # positions and biasing the rank error in one direction
+        h = hashlib.md5(f"{level}|{self.c}".encode()).digest()
         return h[0] & 1
 
     def _compress(self) -> None:
@@ -71,6 +77,7 @@ class KLL:
                 if arr.size > self._capacity(i):
                     arr = np.sort(arr, kind="stable")
                     off = self._coin(i)
+                    self.c += 1
                     kept = arr[off::2]
                     dropped = arr[1 - off::2]
                     self.levels[i] = dropped[:0]  # emptied
@@ -86,6 +93,7 @@ class KLL:
     def merge(self, other: "KLL") -> "KLL":
         out = KLL(min(self.k, other.k))
         out.n = self.n + other.n
+        out.c = self.c + other.c
         depth = max(len(self.levels), len(other.levels))
         out.levels = []
         for i in range(depth):
@@ -136,7 +144,7 @@ class KLL:
         import pickle
 
         return pickle.dumps(
-            {"k": self.k, "n": self.n,
+            {"k": self.k, "n": self.n, "c": self.c,
              "levels": [a.tolist() for a in self.levels]})
 
     @staticmethod
@@ -146,6 +154,7 @@ class KLL:
         d = pickle.loads(b)
         s = KLL(d["k"])
         s.n = d["n"]
+        s.c = d.get("c", 0)
         s.levels = [np.asarray(a, dtype=np.float64) for a in d["levels"]]
         return s
 

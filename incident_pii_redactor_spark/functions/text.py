@@ -204,7 +204,12 @@ def canonical_url(url: str | Column = "url") -> Column:
     """
     c = F.col(url) if isinstance(url, str) else url
     head_raw = F.regexp_extract(c, URL_HEAD_RE, 0)
-    head = F.regexp_replace(F.lower(head_raw), ":(80|443)$", "")
+    # default-port stripping is SCHEME-conditional (review round 5):
+    # http://host:443 serves different content than http://host — only
+    # the scheme's own default port is equivalent to no port
+    head = F.lower(head_raw)
+    head = F.regexp_replace(head, "^(http://.*):80$", "$1")
+    head = F.regexp_replace(head, "^(https://.*):443$", "$1")
     tail = c.substr(F.length(head_raw) + F.lit(1), F.length(c))
     tail = F.regexp_replace(tail, "#.*", "")
     # '?utm_x=1&utm_y=2&id=3' -> '?id=3' in two steps: collapse the
@@ -220,7 +225,8 @@ def canonical_url_sql(expr: str) -> str:
     order; 'g' flags where Spark replaces all; RE2 backref ``\\1`` where
     Spark uses ``$1``."""
     head_raw = f"regexp_extract({expr}, '{URL_HEAD_RE}')"
-    head = f"regexp_replace(lower({head_raw}), ':(80|443)$', '')"
+    head = f"regexp_replace(lower({head_raw}), '^(http://.*):80$', '\\1')"
+    head = f"regexp_replace({head}, '^(https://.*):443$', '\\1')"
     tail = f"substring({expr}, length({head_raw}) + 1)"
     tail = f"regexp_replace({tail}, '#.*', '')"
     tail = f"regexp_replace({tail}, '{URL_TRACK_HEAD_RE}', '?', 'g')"
@@ -305,11 +311,12 @@ def c4_kept_lines_sql(expr: str) -> str:
 
 def c4_page_keep(text: str | Column = "text",
                  cleaned: Column | None = None) -> Column:
-    """C4 page-level verdict over the LINE-CLEANED text: no template
-    filler, no code braces, and at least 3 sentences survive. The
-    sentence count uses terminal punctuation marks in the cleaned text
-    (every kept line ends in one, so this lower-bounds at one per kept
-    line)."""
+    """C4 page-level verdict: the lorem-ipsum and curly-brace checks
+    run on the RAW text (per the C4 paper — a code brace anywhere
+    condemns the page even if line cleaning removes it); only the
+    sentence count uses the LINE-CLEANED text, via its terminal
+    punctuation marks (every kept line ends in one, so this
+    lower-bounds at one per kept line)."""
     c = F.col(text) if isinstance(text, str) else text
     cleaned = clean_lines_c4(c) if cleaned is None else cleaned
     low = F.lower(c)

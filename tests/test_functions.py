@@ -377,7 +377,7 @@ def test_multimodal_real_header_decoders(spark):
             got[3].format) == (100, 50, 3, "bmp")
     assert (got[4].width, got[4].height, got[4].channels,
             got[4].format) == (1920, 1080, 3, "jpeg")
-    assert got[5].format in ("jpeg", "png", "webp")  # fallback fake
+    assert got[5].format == "fake"  # fallback labeled like audio/video
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:

@@ -344,3 +344,69 @@ def test_distributed_percent_rank_equals_window(spark):
     rn = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
     assert rn and "_pid#" in rn.group(1), (
         f"ranking window lost its range-partition key: {rn}")
+
+
+def test_distributed_percent_rank_keeps_null_groups(spark):
+    """NULL group rows must survive and rank within their own NULL
+    partition, exactly like Window.partitionBy (review round 5: the
+    plain equi join dropped them)."""
+    from pyspark.sql import Window
+
+    from incident_pii_redactor_spark.functions.rank import (
+        distributed_percent_rank,
+    )
+
+    rows = [(i, None if i % 3 == 0 else f"g{i % 2}", float(i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, lang string, score double")
+    got = distributed_percent_rank(df, "lang", ["score", "id"],
+                                   out="pr", num_partitions=4)
+    w = Window.partitionBy("lang").orderBy("score", "id")
+    exp = df.withColumn("pr", F.percent_rank().over(w))
+    g = {r.id: r.pr for r in got.collect()}
+    e = {r.id: r.pr for r in exp.collect()}
+    assert g == e  # includes every NULL-group row, bit-identical
+
+
+def test_embedding_trainers_tolerate_null_vectors(spark):
+    """One NULL embedding row must not kill training (review round 5)."""
+    import numpy as np
+
+    from incident_pii_redactor_spark.functions.similarity import (
+        kmeans_fit,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert train_ivf_centroids(df, n_list=4).shape[1] == 8
+    books = train_pq_codebooks(df, m=2, ksub=4)
+    assert len(books) == 2
+    cents = kmeans_fit(df, k=3, n_iter=2)
+    assert cents.shape == (3, 8)
+
+
+def test_bloom_tolerates_null_hashes(spark):
+    """NULL hashes: skipped at build, PASSED THROUGH by the prefilter
+    (the exact anti-join keeps NULL-key rows; review round 5)."""
+    from incident_pii_redactor_spark.functions.bloom import (
+        build_bloom,
+        filter_might_contain,
+    )
+
+    import hashlib as _hl
+
+    h1, h2, h3 = (_hl.md5(x).hexdigest() for x in (b"a", b"b", b"c"))
+    hist = spark.createDataFrame(
+        [(h1,), (h2,), (None,)], "h string")
+    bits, k, m = build_bloom(hist, "h", expected_keys=10)
+    probe = spark.createDataFrame(
+        [(1, h1), (2, h3), (3, None)], "id int, h string")
+    got = {r.id for r in
+           filter_might_contain(probe, "h", bits, k, m).collect()}
+    assert 1 in got          # present key kept
+    assert 2 not in got      # absent key filtered
+    assert 3 in got          # NULL passes through to the exact join

@@ -28,6 +28,10 @@ def test_canonical_url_rules(spark):
         # :80 stripped, trailing param stripped, gclid stripped
         "http://H.io:80/p?id=3&utm_medium=email&gclid=z":
             "http://h.io/p?id=3",
+        # CROSS-scheme default ports are NOT stripped (review round 5:
+        # http://host:443 is a different resource than http://host)
+        "http://x.y:443/p": "http://x.y:443/p",
+        "https://x.y:80/p": "https://x.y:80/p",
         # trailing slash stripped (incl. bare root)
         "https://x.y/only/": "https://x.y/only",
         "https://x.y/": "https://x.y",
