@@ -174,9 +174,15 @@ def train_nb_weights(
     """
     from incident_pii_redactor_spark.functions.dedup import md5_int
 
+    # Two-step select: the label must be evaluated BELOW the Generate
+    # (once per doc) and ride through as a pass-through column. A single
+    # select(label, explode(...)) plans the label Project ON TOP of the
+    # Generate — the full-text word_count/symbol_ratio regexes then run
+    # once per TOKEN (~54x redundant work; measured 5.9 s -> 0.45 s on
+    # the sf0.1 corpus, guide §1/§2.3 "project before the fan-out").
     toks = (
-        df.select(is_positive.alias("_pos"),
-                  F.explode(words_lower(text_col)).alias("tok"))
+        df.select(is_positive.alias("_pos"), F.col(text_col))
+        .select("_pos", F.explode(words_lower(text_col)).alias("tok"))
         .select("_pos", md5_int(F.col("tok"), n_buckets).alias("bucket"))
     )
     from pyspark.sql import Window

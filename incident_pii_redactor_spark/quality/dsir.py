@@ -64,9 +64,15 @@ def dsir_weights(
     at least one token. ``is_target`` marks the rows whose token
     distribution defines the target LM (they stay in the raw LM too —
     DSIR's raw side is the full corpus)."""
+    # Two-step select so ``is_target`` is evaluated once per doc BELOW
+    # the Generate and rides through as a column — a single
+    # select(expr, explode(...)) puts the expr Project above the
+    # Generate, re-evaluating it per token (same fix as
+    # classifier.train_nb_weights; measured 13x there).
     toks = (
-        df.select(F.col(id_col), is_target.alias("_tgt"),
-                  F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
+        df.select(F.col(id_col), is_target.alias("_tgt"), F.col(text_col))
+        .select(id_col, "_tgt",
+                F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
         .select(id_col, "_tgt", md5_int(F.col("tok"), n_buckets).alias("bucket"))
     )
     model = dsir_model(toks, n_buckets)
