@@ -382,7 +382,13 @@ def embedding_near_dup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
-    cos = cosine_pairs_udf(dim)
+    # asNondeterministic stops the optimizer from pushing the
+    # ``cos_sim >= threshold`` filter BELOW the projection — that
+    # rewrite duplicated the ArrowEvalPython node (guide §4.4), so every
+    # candidate pair paid the Arrow vector transfer + cosine twice
+    # (two ArrowEvalPython nodes in the round-5 plan; one after this).
+    # The function is pure — the marker only pins evaluation count.
+    cos = cosine_pairs_udf(dim).asNondeterministic()
     # no ORDER BY here: a library-level global sort would shuffle every
     # surviving pair at corpus scale; callers needing deterministic
     # output order (the driver gate) sort the result themselves
@@ -748,7 +754,9 @@ def semdedup(
                        id_col=id_col, seed=seed)
     assigned = kmeans_assign(df, cents, vec_col=vec_col, id_col=id_col) \
         .select(id_col, "cluster")
-    cos = cosine_pairs_udf(int(cents.shape[1]))  # dim rides on the model
+    # dim rides on the model; asNondeterministic = single ArrowEvalPython
+    # (the threshold filter otherwise re-evaluates the UDF — guide §4.4)
+    cos = cosine_pairs_udf(int(cents.shape[1])).asNondeterministic()
 
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
