@@ -157,8 +157,17 @@ def minhash_lsh_pairs(
             "minhashes would silently be ignored"
         )
     rows_per_band = n_perm // bands
-    sig = df.select(F.col(id_col).alias("_id"),
-                    minhash_signature(text_col, n, n_perm).alias("_sig"))
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
+    # floor the scan parallelism BEFORE the signature projection: a
+    # single-row-group parquet source is one unsplittable task, which
+    # serialized the whole md5-per-shingle pass on one core (no-op at
+    # real scale — see scan_parallelism_floor)
+    base = scan_parallelism_floor(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    sig = base.select("_id",
+                      minhash_signature(text_col, n, n_perm).alias("_sig"))
     # docs too short to shingle keep the sentinel signature [P]*n_perm —
     # without this filter every such doc collides with every other in all
     # bands (an O(k^2) bucket AND mass false near-dups: a dedup job would
@@ -291,8 +300,15 @@ def jaccard_on_pairs(
     """Exact n-gram Jaccard for candidate pairs only (broadcast-scale pair
     lists join back to docs; the expensive set math runs on candidates,
     not the corpus)."""
-    sh = docs.select(
-        F.col(id_col).alias("_jid"),
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
+    # parallelism floor before the shingle-set projection (single-task
+    # otherwise on a one-row-group source; no-op at scale)
+    sh = scan_parallelism_floor(
+        docs.select(F.col(id_col).alias("_jid"), F.col(text_col))
+    ).select(
+        "_jid",
         F.array_distinct(word_shingles(text_col, n)).alias("_sh"),
     )
     j = (

@@ -95,6 +95,11 @@ def _connected_components_label(
             .groupBy("u")
             .agg(F.min("vcomp").alias("nbr_min"))
         )
+        # the change flag rides INSIDE the checkpointed row (labels are
+        # monotonically non-increasing, so "changed" == "nbr_min < comp")
+        # — the former separate old-vs-new join re-shuffled both label
+        # generations every round just to detect convergence; now the
+        # check is one cheap scan of the already-materialized checkpoint
         new = (
             labels.join(nbr.withColumnRenamed("u", "node"), "node", "left")
             .select(
@@ -103,16 +108,13 @@ def _connected_components_label(
                     F.col("comp"),
                     F.coalesce("nbr_min", F.col("comp")),
                 ).alias("comp"),
+                F.coalesce(F.col("nbr_min") < F.col("comp"), F.lit(False))
+                .alias("_chg"),
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        changed = new.filter("_chg").limit(1).count()
+        new = new.drop("_chg")
         prev, labels = labels, new
         # drop the superseded generation's last reference NOW: its
         # localCheckpoint blocks are freed by refcount-driven JVM

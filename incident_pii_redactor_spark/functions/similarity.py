@@ -362,8 +362,16 @@ def embedding_near_dup_pairs(
         raise ValueError("embedding_near_dup_pairs: no non-null embeddings")
     dim = len(dim_row[0])
     keys = band_keys_udf(dim, bands, band_bits, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
+    # parallelism floor before the band-key UDF: a one-row-group source
+    # is a single unsplittable task, serializing the matmul + explode on
+    # one core (no-op at real scale — see scan_parallelism_floor)
+    sig = scan_parallelism_floor(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col))
+    ).select(
+        "_id",
         F.explode(keys(F.col(vec_col))).alias("band_key"),
     )
     # materialization barrier (same rationale as minhash_lsh_pairs): the

@@ -127,11 +127,18 @@ def quality_scrub(
     it must be a picklable top-level callable — it ships to executors in
     the UDF closure. None = built-in simulation (byte-identical output).
     """
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
     src_schema = dict(zip(df.schema.names, [f.dataType.simpleString()
                                             for f in df.schema.fields]))
     id_schema = ", ".join(f"{c} {src_schema[c]}" for c in id_cols)
     schema = f"{id_schema}, {RESULT_FIELDS}"
     pruned = df.select(*id_cols, text_col)  # prunes html & friends at the scan
+    # parallelism floor AFTER the pruning select, so the (conditional,
+    # local-only — no-op at scale and on streams) round-robin exchange
+    # carries just (id, text) and never re-widens the scan
+    pruned = scan_parallelism_floor(pruned)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

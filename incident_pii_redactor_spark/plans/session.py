@@ -22,7 +22,30 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def scan_parallelism_floor(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the source yields fewer partitions — a NO-OP at production
+    scale (a 100 TB input is ~800k splits, far above any core count),
+    load-bearing only for small unsplittable inputs: a single parquet
+    file written as one row group cannot be split, so every per-row-
+    expensive projection (minhash signatures, regex chains, Arrow UDF
+    stages) upstream of the first exchange runs in ONE task while the
+    other cores idle (guide §2.5 "input skew ... otherwise repartition
+    immediately after the read").
+
+    Call it on the NARROW projection (after column pruning) so the
+    round-robin exchange carries only the columns the operator needs.
+    Streaming inputs pass through untouched (partitioning is the
+    stream source's concern, and ``.rdd`` is illegal on them)."""
+    if df.isStreaming:
+        return df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def build_session(

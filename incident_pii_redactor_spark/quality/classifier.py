@@ -108,10 +108,16 @@ def classify_quality(
     score = sum(weight of each token's bucket) / word_count and
     keep = score > 0. Empty docs score 0.0 and keep=false.
     """
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
     spark = df.sparkSession
     wdf = model if model is not None else weights_df(spark)
 
-    toks = df.select(
+    # parallelism floor (no-op at scale) before the tokenize fan-out —
+    # a one-row-group source otherwise runs it in a single task
+    narrow = scan_parallelism_floor(df.select(id_col, text_col))
+    toks = narrow.select(
         F.col(id_col),
         F.explode(words(F.lower(F.col(text_col)))).alias("tok"),
     )
@@ -121,7 +127,7 @@ def classify_quality(
         .groupBy(id_col)
         .agg(F.sum("w").alias("sw"))
     )
-    base = df.select(
+    base = narrow.select(
         F.col(id_col),
         F.size(words(F.lower(F.col(text_col)))).cast("bigint").alias("word_count"),
     )
@@ -180,8 +186,12 @@ def train_nb_weights(
     # Generate — the full-text word_count/symbol_ratio regexes then run
     # once per TOKEN (~54x redundant work; measured 5.9 s -> 0.45 s on
     # the sf0.1 corpus, guide §1/§2.3 "project before the fan-out").
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
     toks = (
-        df.select(is_positive.alias("_pos"), F.col(text_col))
+        scan_parallelism_floor(
+            df.select(is_positive.alias("_pos"), F.col(text_col)))
         .select("_pos", F.explode(words_lower(text_col)).alias("tok"))
         .select("_pos", md5_int(F.col("tok"), n_buckets).alias("bucket"))
     )
@@ -217,8 +227,12 @@ def classify_nb(
     zero tokens are absent (they have no token evidence)."""
     from incident_pii_redactor_spark.functions.dedup import md5_int
 
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
     toks = (
-        df.select(F.col(id_col), F.explode(words_lower(text_col)).alias("tok"))
+        scan_parallelism_floor(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(words_lower(text_col)).alias("tok"))
         .select(id_col, md5_int(F.col("tok"), n_buckets).alias("bucket"))
     )
     return (

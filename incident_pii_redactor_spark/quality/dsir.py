@@ -69,8 +69,13 @@ def dsir_weights(
     # select(expr, explode(...)) puts the expr Project above the
     # Generate, re-evaluating it per token (same fix as
     # classifier.train_nb_weights; measured 13x there).
+    from incident_pii_redactor_spark.plans.session import (
+        scan_parallelism_floor)
+
     toks = (
-        df.select(F.col(id_col), is_target.alias("_tgt"), F.col(text_col))
+        scan_parallelism_floor(
+            df.select(F.col(id_col), is_target.alias("_tgt"),
+                      F.col(text_col)))
         .select(id_col, "_tgt",
                 F.explode(words(F.lower(F.col(text_col)))).alias("tok"))
         .select(id_col, "_tgt", md5_int(F.col("tok"), n_buckets).alias("bucket"))

@@ -99,12 +99,28 @@ def test_partitioning_invariance(spark, pages_parquet):
 
 
 def test_scrub_plan_is_narrow_and_pruned(spark, pages_parquet):
-    """Physical-plan assertions: no shuffle in the scrub stage; the
-    html:binary column never reaches the scan output (column pruning)."""
+    """Physical-plan assertions: no KEYED shuffle in the scrub stage
+    (the only Exchange ever allowed is the conditional round-robin
+    scan-parallelism floor, a no-op at real scale); the html:binary
+    column never reaches the scan output (column pruning)."""
     df = spark.read.parquet(pages_parquet)
     plan = quality_scrub(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # narrow: zero shuffles
+    assert "Exchange hashpartitioning" not in plan  # never a keyed shuffle
+    assert "Exchange rangepartitioning" not in plan
     assert "html" not in plan  # pruned at the parquet scan
+
+
+def test_scan_parallelism_floor_is_noop_on_wide_input(spark, pages_parquet):
+    """The floor must vanish when the source already has >= default
+    parallelism partitions — the production (many-splits) case."""
+    from incident_pii_redactor_spark.plans import scan_parallelism_floor
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.read.parquet(pages_parquet).repartition(p + 1)
+    assert scan_parallelism_floor(wide) is wide
+    narrow = spark.read.parquet(pages_parquet).coalesce(1)
+    floored = scan_parallelism_floor(narrow)
+    assert floored.rdd.getNumPartitions() == p
 
 
 def test_toxic_class_dropped(spark_out):
