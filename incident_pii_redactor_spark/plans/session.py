@@ -7,10 +7,13 @@ choices, each load-bearing at scale:
 * AQE on (+ skew-join): runtime coalescing and skew splitting are the
   backstop behind our explicit salting (SURVEY.md §4.2).
 * Arrow enabled + bounded ``maxRecordsPerBatch``: the scrub stage is a
-  ``mapInPandas`` over multi-KB documents; 8192 docs/batch (~16-32 MB of
-  text per batch) measured ~1.7x faster than 2048 at 32 cores (fewer
-  Arrow frames = less per-batch fixed cost) while keeping executor
-  Python memory bounded.
+  ``mapInPandas`` over multi-KB documents. 1024 docs/batch (re-measured
+  round 6, best-of-5 on a control run): a ~6k-row task at 8192 was ONE
+  batch, so the JVM had to read+serialize the whole task before Python
+  started and idled until it finished; at 1024 the scan pipelines with
+  Python compute (200k-page scrub 4.37 s -> 3.91 s, and the sample
+  spread tightened from 4.4-24 s to 3.9-4.5 s) while bounding worker
+  memory. 512 over-pays per-batch fixed cost (4.34 s).
 * ``spark.sql.files.maxPartitionBytes=128m``: at 100 TB input this yields
   ~800k scan tasks — the right granularity for 1000 executors and for
   partition-granular resume.
@@ -75,7 +78,7 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
