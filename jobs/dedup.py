@@ -316,14 +316,24 @@ def run(args, spark=None) -> dict:
             # url-only semi join kept B's (B,X) too — text X survived
             # twice — because B is Y's legitimate keeper. Joining on
             # both keys keeps exactly the keeper ROWS.
+            # NULL text bypasses the keeper join entirely (ADVICE round
+            # 5): md5(NULL) is NULL and a plain equi semi-join on a NULL
+            # key matches nothing, so every NULL-text row (legitimate:
+            # jobs/ingest.py writes response records pre-extraction)
+            # silently vanished. Exact dedup is only defined over actual
+            # content, so NULL-text rows pass through unchanged rather
+            # than collapsing to one arbitrary keeper.
             hashed = df.withColumn("_h", content_hash("text"))
+            null_text = hashed.filter(F.col("_h").isNull()).drop("_h")
+            content = hashed.filter(F.col("_h").isNotNull())
             keepers = (
-                hashed.groupBy("_h")
+                content.groupBy("_h")
                 .agg(F.min("url").alias("url"))
                 .select("url", "_h")
             )
-            df = (hashed.join(keepers, ["url", "_h"], "left_semi")
-                  .drop("_h"))
+            df = (content.join(keepers, ["url", "_h"], "left_semi")
+                  .drop("_h")
+                  .unionByName(null_text))
             df = ctr.checkpoint(df, stats, "rows_after_exact")
 
         if args.mode in ("near", "both"):

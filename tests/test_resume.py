@@ -116,6 +116,46 @@ def test_dedup_job_end_to_end(spark, tmp_path_factory):
     assert "https://a/3" not in urls        # near dup dropped (min-url wins)
 
 
+def test_dedup_exact_mode_keeps_null_text_rows(spark, tmp_path_factory):
+    """ADVICE round 5: md5(NULL) is NULL and a plain equi semi-join on a
+    NULL key matches nothing, so exact mode silently dropped every
+    NULL-text row (legitimate input: jobs/ingest.py writes response
+    records pre-extraction). NULL-text rows must pass through exact
+    dedup unchanged — neither dropped nor collapsed to one keeper."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.dedup import parse_args as dedup_args, run as dedup_run
+
+    d = tmp_path_factory.mktemp("dedup_null_text")
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://a/1", ts, b"", "shared content body one", "en"),
+        ("https://a/2", ts, b"", "shared content body one", "en"),  # dup
+        ("https://a/3", ts, b"", None, "en"),   # pre-extraction page
+        ("https://a/4", ts, b"", None, "en"),   # another one
+    ]
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text",
+                                    "lang"]),
+        schema=pa.schema([("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.binary()), ("text", pa.string()),
+                          ("lang", pa.string())]),
+        preserve_index=False)
+    pq.write_table(tbl, str(d / "pages.parquet"))
+
+    stats = dedup_run(dedup_args(
+        ["--input", str(d / "pages.parquet"), "--output", str(d / "out"),
+         "--mode", "exact"]), spark=spark)
+    assert stats["rows_after_exact"] == 3  # one dup gone, both NULLs kept
+    urls = {r.url for r in spark.read.parquet(str(d / "out")).collect()}
+    assert urls == {"https://a/1", "https://a/3", "https://a/4"}
+
+
 def test_dedup_input_scans_once_per_stage(spark, tmp_path_factory,
                                           monkeypatch):
     """Round-4 verdict: per-stage ``stats[...] = df.count()`` with no
