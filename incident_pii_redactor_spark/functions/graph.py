@@ -80,9 +80,15 @@ def _connected_components_label(
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().localCheckpoint(eager=True)
+    # init = the first propagation round fused in: comp0 = min(node,
+    # min neighbor). The old node-list ``distinct()`` cost the same
+    # shuffle as this groupBy but started every component at its own id,
+    # spending one full join round on the first hop.
     labels = (
-        sym.select(F.col("u").alias("node")).distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("_mv")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
