@@ -96,6 +96,36 @@ def test_robots_filter_spark(spark):
     assert out.columns == ["id", "url", "robots_allowed"]
 
 
+def test_robots_filter_mixed_case_scheme(spark):
+    """RFC 3986 §3.1: schemes are case-insensitive — HTTP://Host/x must
+    resolve the same host and hit the robots join (ADVICE round 5: the
+    lowercase-only scheme regex yielded an empty host, so mixed-case
+    URLs bypassed robots entirely)."""
+    robots = spark.createDataFrame(
+        [("blocked.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [(1, "HTTP://Blocked.example.com/secret"),
+         (2, "hTtPs://blocked.example.com/also"),
+         (3, "https://open.example.com/fine")],
+        "id int, url string")
+    got = {r["id"]: r["robots_allowed"]
+           for r in robots_filter(frontier, robots).collect()}
+    assert got == {1: False, 2: False, 3: True}
+
+
+def test_robots_filter_rejects_colliding_columns(spark):
+    robots = spark.createDataFrame(
+        [("h.example.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [("https://h.example.com/x", "oops")], "url string, _host string")
+    import pytest
+
+    with pytest.raises(ValueError, match="_host"):
+        robots_filter(frontier, robots)
+
+
 def test_duplicate_agent_groups_combine():
     """RFC 9309 §2.2.1: multiple groups naming the same agent merge
     their rules (review round 5)."""
