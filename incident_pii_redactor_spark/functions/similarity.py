@@ -390,24 +390,86 @@ def embedding_near_dup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
-    # asNondeterministic stops the optimizer from pushing the
-    # ``cos_sim >= threshold`` filter BELOW the projection — that
-    # rewrite duplicated the ArrowEvalPython node (guide §4.4), so every
-    # candidate pair paid the Arrow vector transfer + cosine twice
-    # (two ArrowEvalPython nodes in the round-5 plan; one after this).
-    # The function is pure — the marker only pins evaluation count.
-    cos = cosine_pairs_udf(dim).asNondeterministic()
+    # Verify via mapInArrow on the CONTIGUOUS list buffers (guide §4.2):
+    # the former per-pair pandas_udf spent most of its time materializing
+    # two small numpy arrays per row (Arrow list -> object Series); here
+    # each batch's vectors are two zero-copy (n, dim) views and the
+    # accumulation below replays cosine()'s exact sequential IEEE op
+    # order column-at-a-time, so values stay bit-identical. Rounding and
+    # thresholding stay on the JVM side exactly as before: Spark ROUND
+    # is HALF_UP BigDecimal (numpy's is half-even — never round floats
+    # for the gate in Python), and NaN (null input / zero norm) becomes
+    # an Arrow NULL via from_pandas so the `>= threshold` filter drops
+    # it (bare NaN would PASS — Spark orders NaN above every double).
+    raw = _verify_pairs_arrow(
+        pair_ids.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", "ea", "eb"), dim)
     # no ORDER BY here: a library-level global sort would shuffle every
     # surviving pair at corpus scale; callers needing deterministic
     # output order (the driver gate) sort the result themselves
     return (
-        pair_ids.join(va, "id_a").join(vb, "id_b")
-        .select(
+        raw.select(
             "id_a", "id_b",
-            F.round(cos(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+            F.round(F.col("_cos_raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _verify_pairs_arrow(pairs_vecs: DataFrame, dim: int) -> DataFrame:
+    """(id_a, id_b, ea, eb) -> (id_a, id_b, _cos_raw double) with the
+    UNROUNDED fold-order cosine; null where either vector is null or has
+    zero norm (see caller). Fast path: reshape each Arrow list column's
+    flattened value buffer to (n, dim) — no per-row allocation; batches
+    containing null vectors fall back to the per-row path (flatten()
+    drops null slots, which would misalign the reshape)."""
+    import pyarrow as pa
+
+    def verify(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ea, eb = batch.column("ea"), batch.column("eb")
+            if ea.null_count == 0 and eb.null_count == 0 \
+                    and len(ea.flatten()) == n * dim \
+                    and len(eb.flatten()) == n * dim:
+                A = np.asarray(ea.flatten()).astype(np.float64) \
+                    .reshape(n, dim)
+                B = np.asarray(eb.flatten()).astype(np.float64) \
+                    .reshape(n, dim)
+            else:
+                zero = np.zeros(dim, dtype=np.float64)
+                A = np.stack([zero if v is None else
+                              np.asarray(v, dtype=np.float64)
+                              for v in ea.to_pylist()])
+                B = np.stack([zero if v is None else
+                              np.asarray(v, dtype=np.float64)
+                              for v in eb.to_pylist()])
+            d = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(dim):  # the sequential fold's exact op order
+                x, y = A[:, i], B[:, i]
+                d = d + x * y
+                na = na + x * x
+                nb = nb + y * y
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(denom != 0,
+                               d / np.where(denom == 0, 1.0, denom),
+                               np.nan)
+            if ea.null_count or eb.null_count:
+                null = (~np.asarray(ea.is_valid())) | \
+                       (~np.asarray(eb.is_valid()))
+                out[null] = np.nan
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id_a"), batch.column("id_b"),
+                 pa.array(out, type=pa.float64(), from_pandas=True)],
+                ["id_a", "id_b", "_cos_raw"])
+
+    return pairs_vecs.mapInArrow(
+        verify, "id_a long, id_b long, _cos_raw double")
 
 
 def embedding_norms(df: DataFrame, id_col: str = "vec_id",
