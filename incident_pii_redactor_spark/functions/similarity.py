@@ -824,22 +824,23 @@ def semdedup(
                        id_col=id_col, seed=seed)
     assigned = kmeans_assign(df, cents, vec_col=vec_col, id_col=id_col) \
         .select(id_col, "cluster")
-    # dim rides on the model; asNondeterministic = single ArrowEvalPython
-    # (the threshold filter otherwise re-evaluates the UDF — guide §4.4)
-    cos = cosine_pairs_udf(int(cents.shape[1])).asNondeterministic()
-
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ea"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_eb"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col("cluster").alias("cluster"))
     b = assigned.select(F.col(id_col).alias("id_b"),
                         F.col("cluster").alias("cluster"))
-    pairs = (
+    # same zero-per-row-allocation verify as embedding_near_dup_pairs
+    # (bit-identical fold-order cosine; JVM-side HALF_UP round + NaN->
+    # NULL threshold semantics — see _verify_pairs_arrow)
+    raw = _verify_pairs_arrow(
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .join(va, "id_a").join(vb, "id_b")
-        .select("cluster", "id_a", "id_b",
-                F.round(cos(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"))
+        .select("id_a", "id_b", "ea", "eb"), int(cents.shape[1]))
+    pairs = (
+        raw.select("id_a", "id_b",
+                   F.round(F.col("_cos_raw"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
