@@ -353,10 +353,13 @@ def embedding_near_dup_pairs(
 
     Plan shape: the band shuffle carries only (id, band_key) — candidate
     ID pairs are deduped FIRST (narrow rows), then vectors join back from
-    the base table and the batched ``cosine_pairs_udf`` verifies (exact,
-    bit-identical to the Column fold). Carrying vectors through the band
-    shuffle + dedupe was ~2x the shuffle bytes and the per-pair Column
-    fold was ~35x slower than the Arrow batch."""
+    the base table and the ``_verify_pairs_arrow`` mapInArrow stage
+    verifies (exact, bit-identical to the Column fold — round 6: it
+    replays the same fold op order over zero-copy (n, dim) buffer views,
+    removing the per-pair numpy materialization the pandas_udf paid).
+    Carrying vectors through the band shuffle + dedupe was ~2x the
+    shuffle bytes and the per-pair Column fold was ~35x slower than the
+    Arrow batch."""
     dim_row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
     if dim_row is None:
         raise ValueError("embedding_near_dup_pairs: no non-null embeddings")
