@@ -77,9 +77,13 @@ def _connected_components_label(
     max_iter: int = 20,
 ) -> DataFrame:
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # no ``.distinct()``: every consumer of sym is a min-aggregate
+    # (init groupBy(u).min, per-round nbr groupBy(u).min(vcomp)), and
+    # duplicate edges cannot change a min — dropping the dedup removes
+    # the only shuffle from the edge-materialization job
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     # init = the first propagation round fused in: comp0 = min(node,
     # min neighbor). The old node-list ``distinct()`` cost the same
     # shuffle as this groupBy but started every component at its own id,
