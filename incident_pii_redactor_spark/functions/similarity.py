@@ -442,13 +442,21 @@ def _verify_pairs_arrow(pairs_vecs: DataFrame, dim: int) -> DataFrame:
                 B = np.asarray(eb.flatten()).astype(np.float64) \
                     .reshape(n, dim)
             else:
+                # null LIST -> zeros (masked to NULL below); null list
+                # ELEMENT -> NaN, which propagates through the fold to a
+                # NaN cosine -> Arrow NULL -> dropped by the threshold
+                # filter — exactly the old pandas path's NaN behavior
                 zero = np.zeros(dim, dtype=np.float64)
-                A = np.stack([zero if v is None else
-                              np.asarray(v, dtype=np.float64)
-                              for v in ea.to_pylist()])
-                B = np.stack([zero if v is None else
-                              np.asarray(v, dtype=np.float64)
-                              for v in eb.to_pylist()])
+
+                def row(v):
+                    if v is None:
+                        return zero
+                    return np.asarray(
+                        [np.nan if x is None else x for x in v],
+                        dtype=np.float64)
+
+                A = np.stack([row(v) for v in ea.to_pylist()])
+                B = np.stack([row(v) for v in eb.to_pylist()])
             d = np.zeros(n)
             na = np.zeros(n)
             nb = np.zeros(n)
