@@ -22,6 +22,14 @@ Layout contract (what a training loader relies on):
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow direct `python jobs/export.py` from the repo root (the
+# documented CLI surface): the script dir is jobs/, so the package
+# root one level up must be importable without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from pyspark.sql import Window

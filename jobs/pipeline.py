@@ -19,6 +19,14 @@ its output directory is the stage's commit marker (parquet _SUCCESS)."""
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow direct `python jobs/pipeline.py` from the repo root (the
+# documented CLI surface): the script dir is jobs/, so the package
+# root one level up must be importable without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -18,6 +18,14 @@ deployments); the default runs until terminated.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow direct `python jobs/stream_scrub.py` from the repo root (the
+# documented CLI surface): the script dir is jobs/, so the package
+# root one level up must be importable without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from incident_pii_redactor_spark.plans import build_session
